@@ -1,0 +1,148 @@
+"""Shared neural-net building blocks (flax.linen, NHWC layout).
+
+TPU-first conventions used throughout the model zoo:
+  * images and feature maps are NHWC (XLA's preferred conv layout on TPU);
+  * parameters are float32, compute dtype is configurable (bfloat16 on TPU);
+  * all shapes are static — padding + validity masks instead of dynamic sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MLP(nn.Module):
+    """Transformer feed-forward: Linear -> act -> Linear."""
+
+    hidden_dim: int
+    out_dim: int
+    act: Callable = nn.gelu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class MLPBlock(nn.Module):
+    """Multi-layer perceptron with configurable depth (used by detection heads:
+    reference bbox_embed is a 3-layer ReLU MLP, GroundingDINO utils MLP)."""
+
+    hidden_dim: int
+    out_dim: int
+    num_layers: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers - 1):
+            x = nn.relu(nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"layer{i}")(x))
+        return nn.Dense(self.out_dim, dtype=self.dtype, name=f"layer{self.num_layers - 1}")(x)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the channel (last) axis with fp32 statistics."""
+
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return (x * scale + bias).astype(orig_dtype)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth. Identity at inference (deterministic=True)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class PatchEmbed(nn.Module):
+    """Image-to-patch embedding via strided conv. Input NHWC."""
+
+    patch_size: int
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+    flatten: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        if self.flatten:
+            b, h, w, c = x.shape
+            x = x.reshape(b, h * w, c)
+        return x
+
+
+def window_partition(x: jax.Array, window: int):
+    """(B, H, W, C) -> (B*nWh*nWw, window, window, C), padding H/W up to a
+    multiple of `window` (zero pad bottom-right, like SAM image_encoder.py
+    window_partition semantics)."""
+    b, h, w, c = x.shape
+    pad_h = (window - h % window) % window
+    pad_w = (window - w % window) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window, window, wp // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, c)
+    return x, (hp, wp)
+
+
+def window_unpartition(windows: jax.Array, window: int, padded_hw, orig_hw):
+    """Inverse of window_partition, cropping back to the original H/W."""
+    hp, wp = padded_hw
+    h, w = orig_hw
+    b = windows.shape[0] // ((hp // window) * (wp // window))
+    x = windows.reshape(b, hp // window, wp // window, window, window, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w]
+
+
+def drop_path_identity(x):
+    return x
+
+
+def interpolate_pos_embed(pos: jax.Array, new_hw, num_prefix: int = 0,
+                          offset: float = 0.0):
+    """Bicubic-resample a (1, N(+prefix), C) positional embedding grid to a new
+    spatial size. `offset` mirrors DINOv2's interpolate_offset fudge."""
+    nh, nw = new_hw
+    prefix = pos[:, :num_prefix]
+    grid = pos[:, num_prefix:]
+    n = grid.shape[1]
+    gs = int(round(n ** 0.5))
+    grid = grid.reshape(1, gs, gs, -1)
+    if (nh, nw) != (gs, gs):
+        grid = jax.image.resize(grid, (1, nh, nw, grid.shape[-1]), method="bicubic")
+    return prefix, grid.reshape(1, nh * nw, -1)

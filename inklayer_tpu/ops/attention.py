@@ -1,0 +1,240 @@
+"""Attention ops: jnp reference path + Pallas TPU flash kernel.
+
+Two public entry points:
+
+  * ``sdpa(q, k, v, bias=, mask=)`` — pure-jnp scaled-dot-product attention.
+    Used for short sequences (Swin 7x7=49 / SAM 14x14=196 windows, BERT 256
+    tokens, decoder queries) where XLA fusion is already optimal.
+
+  * ``flash_attention(q, k, v, ...)`` — Pallas kernel that keeps the full K/V
+    for one (batch, head) in VMEM and blocks over queries, computing the
+    softmax in fp32 without ever materialising the full (Nq, Nk) matrix in
+    HBM.  Sequence lengths in this framework are <= ~9k (SAM global 4096,
+    DINOv2 1370, SD UNet up to 9216 latent tokens), so whole-K-in-VMEM is the
+    right regime — no online-softmax carry needed.  Supports SAM's decomposed
+    relative position bias computed on the fly inside the kernel (reference
+    semantics: segment-anything image_encoder.py add_decomposed_rel_pos,
+    which materialises a (B*H, 4096, 4096) bias tensor — ~1GB/image — that we
+    never form).
+
+``attention(...)`` auto-dispatches between the two by sequence length and
+backend.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Reference attention. q: (..., Nq, D), k/v: (..., Nk, D).
+
+    bias: additive, broadcastable to (..., Nq, Nk).
+    mask: boolean, True = attend, broadcastable to (..., Nq, Nk).
+    Softmax in fp32 regardless of input dtype.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "...qk,...kd->...qd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash kernel
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, nk_valid: int):
+    q = q_ref[0]  # (bq, D)
+    k = k_ref[0]  # (Nk, D)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, Nk)
+    if nk_valid < k.shape[0]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < nk_valid, s, _NEG_INF)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _flash_relpos_kernel(
+    q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale: float, kh: int, kw: int
+):
+    """Flash attention with SAM-style decomposed rel-pos bias:
+    bias[q, (i,j)] = rel_h[q, i] + rel_w[q, j] for key grid (kh, kw)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    bq = q.shape[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, kh*kw)
+    rh = rh_ref[0].astype(jnp.float32)  # (bq, kh)
+    rw = rw_ref[0].astype(jnp.float32)  # (bq, kw)
+    # bias[q, i*kw+j] = rh[q, i] + rw[q, j], expanded via two 0/1 matmuls
+    # (Mosaic cannot reshape (bq, kh, kw) -> (bq, kh*kw); MXU does it faster
+    # anyway: (bq,kh)@(kh,kh*kw) + (bq,kw)@(kw,kh*kw)).
+    col = jax.lax.broadcasted_iota(jnp.int32, (kh, kh * kw), 1)
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (kh, kh * kw), 0)
+    expand_h = (col // kw == row_h).astype(jnp.float32)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (kw, kh * kw), 1)
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (kw, kh * kw), 0)
+    expand_w = (col_w % kw == row_w).astype(jnp.float32)
+    s = s + jnp.dot(rh, expand_h, preferred_element_type=jnp.float32)
+    s = s + jnp.dot(rw, expand_w, preferred_element_type=jnp.float32)
+    del bq
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
+    size = x.shape[axis]
+    pad = (multiple - size % multiple) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "kh", "kw", "interpret"),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    rel_h: Optional[jax.Array] = None,
+    rel_w: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    kh: int = 0,
+    kw: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas flash attention.
+
+    q: (B, Nq, D); k, v: (B, Nk, D) — fold batch*heads into B beforehand.
+    rel_h: (B, Nq, kh), rel_w: (B, Nq, kw) optional decomposed rel-pos terms
+    with Nk == kh*kw (SAM global/windowed attention).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, nq, d = q.shape
+    nk = k.shape[1]
+    # pad head dim to the 128-lane boundary (zero-padding leaves logits and
+    # the value projection unchanged)
+    q_p = _pad_to(q, 2, 128)
+    k_p = _pad_to(k, 2, 128)
+    v_p = _pad_to(v, 2, 128)
+    dp = q_p.shape[-1]
+    bq = min(block_q, max(8, nq))
+    q_p = _pad_to(q_p, 1, bq)
+    nq_p = q_p.shape[1]
+    grid = (b, nq_p // bq)
+
+    q_spec = pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, None, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = q_spec
+
+    if rel_h is not None:
+        assert rel_w is not None and kh * kw == nk, (kh, kw, nk)
+        rh_p = _pad_to(rel_h, 1, bq)
+        rw_p = _pad_to(rel_w, 1, bq)
+        kernel = functools.partial(_flash_relpos_kernel, scale=scale, kh=kh, kw=kw)
+        in_specs = [
+            q_spec,
+            pl.BlockSpec((1, nk, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, kh), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, kw), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ]
+        args = (q_p, k_p, v_p, rh_p, rw_p)
+    else:
+        # pad keys to a sublane multiple; kernel masks out padded columns
+        k_p = _pad_to(k_p, 1, 128)
+        v_p = _pad_to(v_p, 1, 128)
+        nk_p = k_p.shape[1]
+        kernel = functools.partial(_flash_kernel, scale=scale, nk_valid=nk)
+        in_specs = [
+            q_spec,
+            pl.BlockSpec((1, nk_p, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_p, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        args = (q_p, k_p, v_p)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, nq_p, dp), q.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*args)
+    return out[:, :nq, :d]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    min_flash_len: int = 1024,
+) -> jax.Array:
+    """Auto-dispatching attention for (B, H, N, D) inputs.
+
+    Routes long unbiased/unmasked sequences to the Pallas flash kernel on TPU;
+    everything else through the fused-XLA reference path.
+    """
+    nk = k.shape[-2]
+    use_flash = (
+        _on_tpu() and bias is None and mask is None and nk >= min_flash_len
+        and q.ndim == 4
+    )
+    if not use_flash:
+        return sdpa(q, k, v, bias=bias, mask=mask, scale=scale)
+    b, h, nq, d = q.shape
+    fold = lambda x: x.reshape(b * h, x.shape[-2], x.shape[-1])
+    out = flash_attention(fold(q), fold(k), fold(v), scale=scale)
+    return out.reshape(b, h, nq, d)
