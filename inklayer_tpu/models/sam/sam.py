@@ -1,0 +1,170 @@
+"""Sam module + box-prompted predictor, TPU-native.
+
+Parity targets: segment-anything ``modeling/sam.py:18-174`` (preprocess /
+postprocess_masks / mask_threshold) and ``predictor.py:17-269``
+(SamPredictor.set_image / predict_torch).
+
+TPU-first design differences from the reference:
+  * the resize->normalise->pad chain is one fused device op with static
+    1024x1024 output (ops/image.scale_pad_normalize) — no host preprocessing,
+    no recompilation across image sizes;
+  * the predictor caches the jitted encoder/decoder; the encoder runs ONCE
+    per image (the reference rebuilds SamPredictor and re-uploads the 2.4GB
+    checkpoint per image — segmentor/sam.py:23 — a latency bug not replicated);
+  * box prompts are padded to a fixed capacity with a validity mask so the
+    decoder never recompiles as the number of detections varies.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from inklayer_tpu.config import SamConfig
+from inklayer_tpu.models.sam.image_encoder import ImageEncoderViT
+from inklayer_tpu.models.sam.mask_decoder import MaskDecoder
+from inklayer_tpu.models.sam.prompt_encoder import PromptEncoder
+from inklayer_tpu.ops.image import resize_scale, scale_pad_normalize
+
+
+class Sam(nn.Module):
+    cfg: SamConfig = SamConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        grid = c.image_size // c.patch_size
+        self.image_encoder = ImageEncoderViT(
+            img_size=c.image_size,
+            patch_size=c.patch_size,
+            embed_dim=c.encoder_embed_dim,
+            depth=c.encoder_depth,
+            num_heads=c.encoder_num_heads,
+            out_chans=c.prompt_embed_dim,
+            window_size=c.encoder_window_size,
+            global_attn_indexes=c.encoder_global_attn_indexes,
+            dtype=self.dtype,
+        )
+        self.prompt_encoder = PromptEncoder(
+            embed_dim=c.prompt_embed_dim,
+            image_embedding_size=(grid, grid),
+            input_image_size=(c.image_size, c.image_size),
+            dtype=self.dtype,
+        )
+        self.mask_decoder = MaskDecoder(
+            transformer_dim=c.prompt_embed_dim, dtype=self.dtype)
+
+    def encode(self, image: jax.Array) -> jax.Array:
+        """Preprocessed (B, S, S, 3) -> (B, S/16, S/16, 256)."""
+        return self.image_encoder(image.astype(self.dtype))
+
+    def decode_boxes(
+        self,
+        embedding: jax.Array,  # (1, G, G, 256)
+        boxes: jax.Array,  # (N, 4) xyxy in model (1024) coords
+        multimask_output: bool = False,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Returns (low_res_logits (N, M, 256, 256), iou_pred (N, M))."""
+        sparse, dense = self.prompt_encoder(boxes=boxes)
+        image_pe = self.prompt_encoder.get_dense_pe()
+        n = boxes.shape[0]
+        emb = jnp.broadcast_to(embedding, (n,) + embedding.shape[1:])
+        return self.mask_decoder(
+            emb.astype(self.dtype), image_pe, sparse.astype(self.dtype),
+            dense.astype(self.dtype), multimask_output=multimask_output)
+
+    def __call__(self, image: jax.Array, boxes: jax.Array):
+        """End-to-end: preprocessed image batch (1, S, S, 3) + (N, 4) boxes
+        -> (low_res_logits, iou_pred)."""
+        embedding = self.encode(image)
+        return self.decode_boxes(embedding, boxes)
+
+
+class SamPredictor:
+    """Stateful convenience wrapper mirroring the reference SamPredictor API,
+    with cached jit-compiled encode/decode."""
+
+    def __init__(self, params, cfg: SamConfig = SamConfig(),
+                 dtype: jnp.dtype = jnp.float32, box_capacity: int = 64):
+        self.cfg = cfg
+        self.model = Sam(cfg, dtype=dtype)
+        self.params = params
+        self.box_capacity = box_capacity
+        self._embedding = None
+        self._scale = None
+        self._input_hw = None  # size of valid (non-pad) region in model space
+        self._orig_hw = None
+
+        self._encode = jax.jit(
+            lambda p, img: self.model.apply(p, img, method=Sam.encode))
+        self._decode = jax.jit(
+            lambda p, emb, boxes: self.model.apply(
+                p, emb, boxes, method=Sam.decode_boxes))
+
+    # -- image ------------------------------------------------------------
+    def set_image(self, image: np.ndarray) -> None:
+        """image: (H, W, 3) uint8 RGB host array."""
+        c = self.cfg
+        h, w = image.shape[:2]
+        scale = resize_scale((h, w), (c.image_size, c.image_size), "longest")
+        pre = scale_pad_normalize(
+            jnp.asarray(image), jnp.float32(scale), c.pixel_mean, c.pixel_std,
+            (c.image_size, c.image_size))
+        self._embedding = self._encode(self.params, pre[None])
+        self._scale = scale
+        self._orig_hw = (h, w)
+        self._input_hw = (int(round(h * scale)), int(round(w * scale)))
+
+    # -- prompts ----------------------------------------------------------
+    def predict_boxes(
+        self, boxes_xyxy: np.ndarray, multimask_output: bool = False,
+        return_logits: bool = False,
+    ):
+        """boxes in original-image pixel coords, (N, 4) xyxy.
+
+        Returns (masks (N, H, W) bool at original size, iou_pred (N,),
+        low_res_logits (N, 256, 256)).
+        """
+        assert self._embedding is not None, "call set_image first"
+        n = boxes_xyxy.shape[0]
+        cap = self.box_capacity
+        while cap < n:
+            cap *= 2
+        boxes_model = np.asarray(boxes_xyxy, np.float32) * self._scale
+        padded = np.zeros((cap, 4), np.float32)
+        padded[:n] = boxes_model
+        logits, iou = self._decode(self.params, self._embedding,
+                                   jnp.asarray(padded))
+        logits = logits[:n, 0]  # (n, 256, 256)
+        iou = np.asarray(iou[:n, 0])
+        full = self._postprocess(logits)  # (n, H, W) float logits
+        if return_logits:
+            return full, iou, np.asarray(logits)
+        return full > self.cfg.mask_threshold, iou, np.asarray(logits)
+
+    def _postprocess(self, low_res_logits: jax.Array) -> np.ndarray:
+        """(N, 256, 256) logits -> (N, H_orig, W_orig) float logits.
+
+        Mirrors modeling/sam.py postprocess_masks: upsample to model size,
+        crop the valid region, resize to the original size."""
+        c = self.cfg
+        n = low_res_logits.shape[0]
+        up = jax.image.resize(
+            low_res_logits, (n, c.image_size, c.image_size), method="bilinear")
+        ih, iw = self._input_hw
+        up = up[:, :ih, :iw]
+        oh, ow = self._orig_hw
+        out = jax.image.resize(up, (n, oh, ow), method="bilinear")
+        return np.asarray(out)
+
+    def predict(self, boxes: Optional[np.ndarray] = None,
+                multimask_output: bool = False):
+        """Reference-compatible entry: returns (masks bool, iou, low_res)."""
+        logits, iou, low = self.predict_boxes(boxes, multimask_output,
+                                              return_logits=True)
+        return logits > self.cfg.mask_threshold, iou, low

@@ -1,0 +1,89 @@
+"""On-device image preprocessing ops.
+
+The reference does all preprocessing on host (PIL/cv2 resize, numpy
+normalise) and uploads per stage.  Here each stage's resize+normalise+pad is
+one fused XLA op with a *static* output shape:
+``jax.image.scale_and_translate`` resamples to an arbitrary scale into a
+fixed-size canvas (zero-filled beyond the image), which fuses the reference's
+resize -> normalise -> pad-to-square chain (segment-anything
+modeling/sam.py:164-174, utils/transforms.py:16-102) into a single kernel and
+keeps every downstream shape static — no recompilation across a directory
+sweep.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def resize_scale(in_hw: Tuple[int, int], out_hw: Tuple[int, int],
+                 keep_aspect: str = "longest") -> float:
+    """Scale factor used by the reference resize strategies.
+
+    'longest': ResizeLongestSide (SAM) — longest side == max(out).
+    'shortest': shorter side == min(out) (GDINO RandomResize lower bound).
+    """
+    h, w = in_hw
+    oh, ow = out_hw
+    if keep_aspect == "longest":
+        return min(oh / h, ow / w)
+    return max(oh / h, ow / w)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "method", "antialias"))
+def scale_pad_normalize(
+    image: jax.Array,  # (H, W, 3) float32 or uint8, RGB
+    scale: jax.Array,  # scalar float
+    mean: Tuple[float, float, float],
+    std: Tuple[float, float, float],
+    out_hw: Tuple[int, int],
+    method: str = "bilinear",
+    antialias: bool = True,
+) -> jax.Array:
+    """Normalise, then resample by `scale` into a zero-padded (out_h, out_w)
+    canvas (top-left anchored).  Output (out_h, out_w, 3) float32.
+
+    Normalising *before* the resample means the zero fill corresponds to
+    zero-padding in normalised space, matching the reference's
+    pad-after-normalise (modeling/sam.py:164-174).
+    """
+    x = image.astype(jnp.float32)
+    x = (x - jnp.asarray(mean)) / jnp.asarray(std)
+    scale2 = jnp.stack([scale, scale]).astype(jnp.float32)
+    translation = jnp.zeros((2,), jnp.float32)
+    return jax.image.scale_and_translate(
+        x, (out_hw[0], out_hw[1], 3), (0, 1), scale2, translation,
+        method=method, antialias=antialias)
+
+
+def resize(image: jax.Array, out_hw: Tuple[int, int], method: str = "bilinear",
+           antialias: bool = True) -> jax.Array:
+    """Plain resize to (out_h, out_w), preserving trailing dims."""
+    out_shape = (out_hw[0], out_hw[1]) + image.shape[2:]
+    return jax.image.resize(image, out_shape, method=method, antialias=antialias)
+
+
+def pick_bucket(h: int, w: int, buckets: Sequence[Tuple[int, int]],
+                scale_mode: str = "shortest") -> Tuple[int, int]:
+    """Choose the bucket whose aspect ratio is closest to the image's.
+
+    Buckets keep jit compilations bounded across a directory sweep
+    (BASELINE.json config 2)."""
+    aspect = w / h
+    return min(buckets, key=lambda b: abs((b[1] / b[0]) - aspect))
+
+
+def to_device_image(np_image: np.ndarray) -> jax.Array:
+    """Host uint8 HWC RGB -> device array (single host->HBM transfer)."""
+    if np_image.ndim == 2:
+        np_image = np.repeat(np_image[..., None], 3, axis=2)
+    if np_image.shape[2] == 4:  # flatten alpha onto white, like the web app
+        alpha = np_image[..., 3:4].astype(np.float32) / 255.0
+        rgb = np_image[..., :3].astype(np.float32)
+        np_image = (rgb * alpha + 255.0 * (1 - alpha)).astype(np.uint8)
+    return jnp.asarray(np_image)
