@@ -133,6 +133,22 @@ def drop_path_identity(x):
     return x
 
 
+def resize_pad_mask(mask: jax.Array, hw) -> jax.Array:
+    """Downsample a top-left-anchored rectangular padding mask to a new
+    resolution analytically (the reference nearest-interpolates the mask,
+    util/misc NestedTensor; for rectangle masks this is equivalent but can
+    never produce a fully-padded level: ceil keeps >=1 valid row/col)."""
+    b, big_h, big_w = mask.shape
+    h, w = hw
+    vh = jnp.sum((~mask[:, :, 0]).astype(jnp.int32), axis=1)  # (B,)
+    vw = jnp.sum((~mask[:, 0, :]).astype(jnp.int32), axis=1)
+    vh_l = jnp.clip(jnp.ceil(vh * h / big_h).astype(jnp.int32), 1, h)
+    vw_l = jnp.clip(jnp.ceil(vw * w / big_w).astype(jnp.int32), 1, w)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+    return (rows >= vh_l[:, None, None]) | (cols >= vw_l[:, None, None])
+
+
 def interpolate_pos_embed(pos: jax.Array, new_hw, num_prefix: int = 0,
                           offset: float = 0.0):
     """Bicubic-resample a (1, N(+prefix), C) positional embedding grid to a new

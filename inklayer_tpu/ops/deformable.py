@@ -1,0 +1,109 @@
+"""Multi-scale deformable attention sampling, TPU-native.
+
+This replaces the reference's only native CUDA kernel
+(GroundingDINO csrc/MsDeformAttn/ms_deform_im2col_cuda.cuh — bilinear
+sampling of n_points per level per head from a level-flattened value tensor,
+weighted sum), matching ``F.grid_sample(align_corners=False, padding_mode=
+'zeros')`` semantics exactly: pixel coordinate = loc * size - 0.5,
+out-of-range corners contribute zero.
+
+Design: the irregular gather is expressed as 4 corner ``take_along_axis``
+gathers per level over the token axis, which XLA lowers to TPU dynamic-gather;
+the bilinear weighting and head/point reductions fuse around them.  Spatial
+shapes are static (shape-bucketed images), so the per-level loop unrolls at
+trace time.  A Pallas formulation is planned for a later optimisation round;
+this op is ~2% of GDINO runtime at 900 decoder queries and within memory
+budget at the 22k-token encoder.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def ms_deform_attn(
+    value: jax.Array,  # (B, sum_l H_l*W_l, n_heads, head_dim)
+    spatial_shapes: Tuple[Tuple[int, int], ...],  # static ((H_l, W_l), ...)
+    sampling_locations: jax.Array,  # (B, Lq, n_heads, n_levels, n_points, 2) in [0,1]
+    attention_weights: jax.Array,  # (B, Lq, n_heads, n_levels, n_points)
+) -> jax.Array:
+    """Returns (B, Lq, n_heads * head_dim)."""
+    b, _, n_heads, head_dim = value.shape
+    lq = sampling_locations.shape[1]
+    n_points = sampling_locations.shape[4]
+    compute_dtype = value.dtype
+
+    out = jnp.zeros((b, n_heads, lq, head_dim), jnp.float32)
+    offset = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value[:, offset: offset + h * w]  # (B, hw, H, D)
+        offset += h * w
+        v = v.transpose(0, 2, 1, 3)  # (B, H, hw, D)
+        loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)  # (B,Lq,H,P,2)
+        wts = attention_weights[:, :, :, lvl].astype(jnp.float32)  # (B,Lq,H,P)
+        # grid_sample(align_corners=False): pixel coord = loc*size - 0.5
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        acc = jnp.zeros((b, n_heads, lq * n_points, head_dim), jnp.float32)
+        for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            xi = x0i + dx
+            yi = y0i + dy
+            wx = jnp.where(dx == 1, fx, 1.0 - fx)
+            wy = jnp.where(dy == 1, fy, 1.0 - fy)
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            cw = (wx * wy * valid).astype(jnp.float32)  # (B,Lq,H,P)
+            idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            # (B,Lq,H,P) -> (B,H,Lq*P)
+            idx = idx.transpose(0, 2, 1, 3).reshape(b, n_heads, lq * n_points)
+            g = jnp.take_along_axis(
+                v, idx[..., None], axis=2)  # (B,H,Lq*P,D)
+            cwt = cw.transpose(0, 2, 1, 3).reshape(b, n_heads, lq * n_points, 1)
+            acc = acc + g.astype(jnp.float32) * cwt
+        wts_t = wts.transpose(0, 2, 1, 3).reshape(b, n_heads, lq * n_points, 1)
+        acc = acc * wts_t
+        out = out + acc.reshape(b, n_heads, lq, n_points, head_dim).sum(axis=3)
+
+    out = out.transpose(0, 2, 1, 3).reshape(b, lq, n_heads * head_dim)
+    return out.astype(compute_dtype)
+
+
+def ms_deform_attn_ref(value, spatial_shapes, sampling_locations, attention_weights):
+    """Pure-numpy oracle (same math, scalar loops). Test use only."""
+    import numpy as np
+
+    value = np.asarray(value, np.float64)
+    locs = np.asarray(sampling_locations, np.float64)
+    wts = np.asarray(attention_weights, np.float64)
+    b, _, n_heads, d = value.shape
+    lq, n_levels, n_points = locs.shape[1], locs.shape[3], locs.shape[4]
+    out = np.zeros((b, lq, n_heads, d))
+    starts = np.cumsum([0] + [h * w for h, w in spatial_shapes])
+    for bi in range(b):
+        for q in range(lq):
+            for hd in range(n_heads):
+                for lvl, (h, w) in enumerate(spatial_shapes):
+                    vl = value[bi, starts[lvl]: starts[lvl + 1], hd].reshape(h, w, d)
+                    for p in range(n_points):
+                        x = locs[bi, q, hd, lvl, p, 0] * w - 0.5
+                        y = locs[bi, q, hd, lvl, p, 1] * h - 0.5
+                        x0, y0 = int(np.floor(x)), int(np.floor(y))
+                        fx, fy = x - x0, y - y0
+                        s = 0.0
+                        for dy, wy in ((0, 1 - fy), (1, fy)):
+                            for dx, wx in ((0, 1 - fx), (1, fx)):
+                                xi, yi = x0 + dx, y0 + dy
+                                if 0 <= xi < w and 0 <= yi < h:
+                                    s = s + wy * wx * vl[yi, xi]
+                        out[bi, q, hd] += s * wts[bi, q, hd, lvl, p]
+    return out.reshape(b, lq, n_heads * d)

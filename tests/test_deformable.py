@@ -1,0 +1,31 @@
+import jax.numpy as jnp
+import numpy as np
+
+from inklayer_tpu.ops.deformable import ms_deform_attn, ms_deform_attn_ref
+
+
+def test_ms_deform_attn_matches_oracle(rng):
+    b, heads, d = 2, 2, 4
+    shapes = ((6, 8), (3, 4))
+    n_tokens = sum(h * w for h, w in shapes)
+    lq, n_points = 5, 3
+    value = rng.standard_normal((b, n_tokens, heads, d)).astype(np.float32)
+    # locations straddling the [0,1] range incl. out-of-bounds
+    locs = rng.uniform(-0.2, 1.2, (b, lq, heads, len(shapes), n_points, 2)).astype(np.float32)
+    wts = rng.random((b, lq, heads, len(shapes), n_points)).astype(np.float32)
+    wts /= wts.sum(axis=(-1, -2), keepdims=True)
+
+    out = ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(wts))
+    ref = ms_deform_attn_ref(value, shapes, locs, wts)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_ms_deform_attn_exact_center(rng):
+    # a sample exactly at a pixel center returns that pixel's value
+    shapes = ((4, 4),)
+    value = rng.standard_normal((1, 16, 1, 2)).astype(np.float32)
+    # pixel (1, 2): center = ((2+0.5)/4, (1+0.5)/4)
+    locs = np.array([[[[[(2.5 / 4, 1.5 / 4)]]]]], np.float32)
+    wts = np.ones((1, 1, 1, 1, 1), np.float32)
+    out = ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(wts))
+    np.testing.assert_allclose(np.asarray(out)[0, 0], value[0, 1 * 4 + 2, 0], atol=1e-6)
