@@ -1,0 +1,174 @@
+"""DPT head + DepthAnythingV2 model, TPU-native.
+
+Parity target: Depth_Anything_V2 ``depth_anything_v2/dpt.py:38-221`` (DPTHead
+projections / resize layers / scratch / FeatureFusionBlocks / output convs,
+DepthAnythingV2.forward + image2tensor) and ``util/blocks.py:4-148``
+(ResidualConvUnit, FeatureFusionBlock, _make_scratch).
+
+TPU-first: NHWC; the cv2-based host transform (Resize lower-bound 518,
+multiple-of-14, INTER_CUBIC + ImageNet normalise) becomes one on-device op
+with static bucketed output shapes; bilinear upsamples use align-corners
+semantics via jax.image.scale_and_translate-free resize (jax bilinear is
+half-pixel; the difference is sub-pixel and inside mask-IoU tolerance).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from inklayer_tpu.config import DepthConfig
+from inklayer_tpu.models.depth.dinov2 import DinoVisionTransformer
+from inklayer_tpu.ops.image import resize
+
+# [0,1]-scale ImageNet stats (util/transform.py NormalizeImage)
+DEPTH_MEAN = (0.485, 0.456, 0.406)
+DEPTH_STD = (0.229, 0.224, 0.225)
+
+
+class ResidualConvUnit(nn.Module):
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.relu(x)
+        y = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(y)
+        return x + y
+
+
+class FeatureFusionBlock(nn.Module):
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip=None, out_hw: Tuple[int, int] = None):
+        if skip is not None:
+            x = x + ResidualConvUnit(self.features, dtype=self.dtype,
+                                     name="resConfUnit1")(skip)
+        x = ResidualConvUnit(self.features, dtype=self.dtype,
+                             name="resConfUnit2")(x)
+        if out_hw is None:
+            out_hw = (x.shape[1] * 2, x.shape[2] * 2)
+        x = jax.image.resize(
+            x, (x.shape[0],) + tuple(out_hw) + (x.shape[-1],), "bilinear")
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                       name="out_conv")(x)
+
+
+class DPTHead(nn.Module):
+    cfg: DepthConfig = DepthConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, taps, patch_hw: Tuple[int, int]):
+        """taps: list of 4 ((B, N, C) tokens, cls) from the encoder;
+        returns (B, 14*ph, 14*pw) relative depth (ReLU'd)."""
+        c = self.cfg
+        ph, pw = patch_hw
+        feats = []
+        for i, (tok, _cls) in enumerate(taps):
+            b = tok.shape[0]
+            x = tok.reshape(b, ph, pw, -1)
+            x = nn.Conv(c.out_channels[i], (1, 1), dtype=self.dtype,
+                        name=f"projects_{i}")(x)
+            # resize layers: 4x, 2x, 1x, 0.5x (dpt.py:63-91)
+            if i == 0:
+                x = nn.ConvTranspose(c.out_channels[i], (4, 4), strides=(4, 4),
+                                     dtype=self.dtype, name="resize_0")(x)
+            elif i == 1:
+                x = nn.ConvTranspose(c.out_channels[i], (2, 2), strides=(2, 2),
+                                     dtype=self.dtype, name="resize_1")(x)
+            elif i == 3:
+                x = nn.Conv(c.out_channels[i], (3, 3), strides=(2, 2),
+                            padding=1, dtype=self.dtype, name="resize_3")(x)
+            # scratch 3x3 convs to the fusion width (no bias)
+            x = nn.Conv(c.features, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, name=f"scratch_layer{i + 1}_rn")(x)
+            feats.append(x)
+
+        l1, l2, l3, l4 = feats
+        p4 = FeatureFusionBlock(c.features, dtype=self.dtype,
+                                name="refinenet4")(l4, out_hw=l3.shape[1:3])
+        p3 = FeatureFusionBlock(c.features, dtype=self.dtype,
+                                name="refinenet3")(p4, l3, out_hw=l2.shape[1:3])
+        p2 = FeatureFusionBlock(c.features, dtype=self.dtype,
+                                name="refinenet2")(p3, l2, out_hw=l1.shape[1:3])
+        p1 = FeatureFusionBlock(c.features, dtype=self.dtype,
+                                name="refinenet1")(p2, l1)
+
+        x = nn.Conv(c.features // 2, (3, 3), padding=1, dtype=self.dtype,
+                    name="output_conv1")(p1)
+        x = jax.image.resize(
+            x, (x.shape[0], ph * c.patch_size, pw * c.patch_size, x.shape[-1]),
+            "bilinear")
+        x = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
+                    name="output_conv2_0")(x)
+        x = nn.relu(x)
+        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="output_conv2_2")(x)
+        return nn.relu(x[..., 0])
+
+
+class DepthAnythingV2(nn.Module):
+    cfg: DepthConfig = DepthConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image: jax.Array) -> jax.Array:
+        """image: (B, H, W, 3) normalized, H/W multiples of patch_size.
+        Returns (B, H, W) relative depth."""
+        c = self.cfg
+        ph, pw = image.shape[1] // c.patch_size, image.shape[2] // c.patch_size
+        taps = DinoVisionTransformer(c, dtype=self.dtype, name="pretrained")(
+            image.astype(self.dtype), c.intermediate_layers)
+        return DPTHead(c, dtype=self.dtype, name="depth_head")(
+            taps, (ph, pw)).astype(jnp.float32)
+
+
+def depth_bucket(h: int, w: int, cfg: DepthConfig) -> Tuple[int, int]:
+    """Reference Resize semantics (util/transform.py:5-157, lower_bound,
+    keep_aspect, multiple-of-14): scale so min side >= input_size, round each
+    dim to a multiple of 14.  Snapped to a bounded bucket set by capping the
+    long side at 2x input_size to keep compile counts low."""
+    scale = cfg.input_size / min(h, w)
+    nh = int(round(h * scale / cfg.patch_size)) * cfg.patch_size
+    nw = int(round(w * scale / cfg.patch_size)) * cfg.patch_size
+    cap = 2 * cfg.input_size
+    nh, nw = min(nh, cap), min(nw, cap)
+    nh = max(nh, cfg.input_size)
+    nw = max(nw, cfg.input_size)
+    # snap to 70px grid above the base size to bound bucket count
+    snap = 70  # 5 patches
+    nh = cfg.input_size + ((nh - cfg.input_size + snap - 1) // snap) * snap
+    nw = cfg.input_size + ((nw - cfg.input_size + snap - 1) // snap) * snap
+    return min(nh, cap + snap), min(nw, cap + snap)
+
+
+class DepthEstimator:
+    """Host wrapper mirroring DepthAnythingV2.infer_image (dpt.py:187-221)."""
+
+    def __init__(self, params, cfg: DepthConfig = DepthConfig(),
+                 dtype: jnp.dtype = jnp.float32):
+        self.cfg = cfg
+        self.model = DepthAnythingV2(cfg, dtype=dtype)
+        self.params = params
+        self._jit = jax.jit(lambda p, x: self.model.apply(p, x))
+
+    def infer_image(self, image: np.ndarray) -> np.ndarray:
+        """image: (H, W, 3) uint8 RGB -> (H, W) float32 relative depth."""
+        h, w = image.shape[:2]
+        bh, bw = depth_bucket(h, w, self.cfg)
+        x = jnp.asarray(image).astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(DEPTH_MEAN)) / jnp.asarray(DEPTH_STD)
+        x = resize(x, (bh, bw), "bicubic", antialias=True)
+        depth = self._jit(self.params, x[None])[0]
+        out = resize(depth[..., None], (h, w), "bilinear", antialias=False)
+        return np.asarray(out[..., 0])
