@@ -1,0 +1,120 @@
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inklayer_tpu.ops import morphology as M
+from inklayer_tpu.ops.components import (
+    component_stats,
+    connected_components,
+    large_component_mask,
+)
+from inklayer_tpu.ops.distance import chamfer_distance, label_flood
+from inklayer_tpu.ops.color import color_sketch_by_masks, generate_pastel_colors
+
+
+def test_kernels_match_cv2():
+    for k in (3, 5, 9, 13):
+        ours = M.ellipse_kernel(k)
+        ref = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (k, k))
+        np.testing.assert_array_equal(ours, ref.astype(np.float32))
+
+
+def test_morphology_matches_cv2(rng):
+    img = (rng.random((40, 50)) > 0.7).astype(np.uint8)
+    se = M.rect_kernel(5)
+    ours_d = np.asarray(M.binary_dilate(jnp.asarray(img.astype(bool)), se))
+    ref_d = cv2.dilate(img, se.astype(np.uint8)) > 0
+    np.testing.assert_array_equal(ours_d, ref_d)
+    ours_c = np.asarray(M.morph_close(jnp.asarray(img.astype(bool)), se))
+    ref_c = cv2.morphologyEx(img, cv2.MORPH_CLOSE, se.astype(np.uint8)) > 0
+    np.testing.assert_array_equal(ours_c, ref_c)
+
+
+def test_connected_components_matches_cv2(rng):
+    img = (rng.random((48, 64)) > 0.8).astype(np.uint8)
+    ours = np.asarray(connected_components(jnp.asarray(img.astype(bool))))
+    n_ref, ref = cv2.connectedComponents(img, connectivity=8)
+    # same partition: bijection between label sets
+    pairs = set()
+    for y in range(48):
+        for x in range(64):
+            if img[y, x]:
+                pairs.add((ours[y, x], ref[y, x]))
+    ours_labels = {p[0] for p in pairs}
+    ref_labels = {p[1] for p in pairs}
+    assert len(pairs) == len(ours_labels) == len(ref_labels)
+    assert (ours[img == 0] == -1).all()
+
+
+def test_component_stats(rng):
+    img = np.zeros((30, 30), bool)
+    img[2:5, 2:10] = True  # area 24, w 8, h 3
+    img[20:29, 20:23] = True  # area 27, w 3, h 9
+    labels = connected_components(jnp.asarray(img))
+    area, width, height = (np.asarray(x) for x in component_stats(labels))
+    assert area[3, 3] == 24 and width[3, 3] == 8 and height[3, 3] == 3
+    assert area[22, 21] == 27 and width[22, 21] == 3 and height[22, 21] == 9
+    assert area[0, 0] == 0
+
+
+def test_large_component_mask():
+    img = np.zeros((20, 20), bool)
+    img[1:3, 1:3] = True  # area 4
+    img[10:18, 10:18] = True  # area 64
+    out = np.asarray(large_component_mask(jnp.asarray(img), min_area=10))
+    assert not out[1, 1]
+    assert out[11, 11]
+
+
+def test_chamfer_distance_accuracy():
+    seeds = np.zeros((32, 32), bool)
+    seeds[16, 16] = True
+    d = np.asarray(chamfer_distance(jnp.asarray(seeds), iters=40))
+    # chamfer with 1/sqrt(2) weights is within ~8% of euclidean
+    yy, xx = np.mgrid[0:32, 0:32]
+    eu = np.sqrt((yy - 16.0) ** 2 + (xx - 16.0) ** 2)
+    assert np.all(d >= eu - 1e-4)
+    assert np.all(d <= eu * 1.09 + 1e-4)
+
+
+def test_label_flood_nearest_assignment():
+    markers = np.zeros((20, 20), np.int32)
+    markers[5, 2] = 1
+    markers[5, 17] = 2
+    region = np.ones((20, 20), bool)
+    lbl = np.asarray(label_flood(jnp.asarray(markers),
+                                 jnp.zeros((20, 20), jnp.float32),
+                                 jnp.asarray(region), iters=40))
+    assert lbl[5, 4] == 1 and lbl[5, 15] == 2
+    assert (lbl > 0).all()
+
+
+def test_pastel_colors_count():
+    for n in (1, 2, 5, 12):
+        cols = generate_pastel_colors(n)
+        assert len(cols) == n
+        assert all(0 <= c <= 255 for col in cols for c in col)
+
+
+def test_color_sketch_by_masks_matches_reference_math(rng):
+    h, w = 16, 16
+    gray = np.full((h, w), 255, np.uint8)
+    gray[4:8, 4:8] = 30  # dark strokes
+    gray[10:12, 10:12] = 200  # faint strokes
+    rgb = np.repeat(gray[..., None], 3, 2)
+    mask = np.zeros((h, w), bool)
+    mask[4:8, 4:8] = True
+    out = color_sketch_by_masks(rgb, [mask], colors=[(200, 100, 50)])
+    # white stays white
+    assert (out[0, 0] == 255).all()
+    # masked stroke pixel: color blended by enhanced opacity
+    raw = (255 - 30) / 255.0
+    a = max(raw ** (1 / 1.5), 0.2)
+    expect = np.array([200, 100, 50]) * a + 255 * (1 - a)
+    np.testing.assert_allclose(out[5, 5], expect.astype(np.uint8), atol=1)
+    # unmasked faint stroke: black blend
+    raw2 = (255 - 200) / 255.0
+    a2 = max(raw2 ** (1 / 1.5), 0.2)
+    expect2 = np.array([255, 255, 255]) * (1 - a2)
+    np.testing.assert_allclose(out[10, 10], expect2.astype(np.uint8), atol=1)
