@@ -1,0 +1,615 @@
+"""PyTorch checkpoint -> JAX pytree converters.
+
+The reference is load-only (SURVEY.md §5): torch.load + clean_state_dict
+(GroundingDINO util/inference.py:33-35), strict SAM load
+(build_sam.py:103-106), depth map_location="cpu" (depth_sort.py:37-38).
+Here: a generic rule-based mapping engine translates the public checkpoints
+(sam_vit_h_4b8939.pth, inklayer_gdino.pth, depth_anything_v2_vitb.pth) into
+this framework's flax parameter trees, with dtype/layout transforms:
+
+  torch Linear  (out, in)        -> Dense kernel (in, out)
+  torch Conv2d  (out, in, kh, kw)-> Conv kernel (kh, kw, in, out)
+  torch ConvT2d (in, out, kh, kw)-> ConvTranspose kernel (kh, kw, in, out)
+  torch LN/Embedding weight      -> scale / embedding
+
+Conversion happens host-side in numpy; the resulting tree is device_put once.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _t_linear(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+def _t_conv(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _t_convT(w: np.ndarray) -> np.ndarray:
+    # torch (in, out, kh, kw) -> flax ConvTranspose (kh, kw, in, out) with
+    # spatial flip (flax transpose_kernel=False convolves the kernel as-is)
+    return np.ascontiguousarray(w.transpose(2, 3, 0, 1)[::-1, ::-1])
+
+
+def _identity(w: np.ndarray) -> np.ndarray:
+    return w
+
+
+TRANSFORMS = {
+    "linear": _t_linear,
+    "conv": _t_conv,
+    "convT": _t_convT,
+    "id": _identity,
+}
+
+
+def clean_state_dict(state_dict: dict) -> dict:
+    """Strip 'module.'/'model.' prefixes (GroundingDINO util clean_state_dict)."""
+    out = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if k.startswith("model."):
+            k = k[len("model."):]
+        out[k] = v
+    return out
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("model", "state_dict", "module"):
+            if key in obj and isinstance(obj[key], dict):
+                obj = obj[key]
+                break
+    sd = clean_state_dict(obj)
+    return {k: np.asarray(v.detach().float().numpy()) if hasattr(v, "detach")
+            else np.asarray(v) for k, v in sd.items()}
+
+
+class Rule:
+    """Regex rule: torch key pattern -> (flax path template, transform).
+    Templates use backrefs \\1 etc.; path segments separated by '/'."""
+
+    def __init__(self, pattern: str, path: str, transform: str = "id"):
+        self.re = re.compile(pattern + r"\Z")
+        self.path = path
+        self.transform = TRANSFORMS[transform]
+
+    def apply(self, key: str) -> Optional[Tuple[str, Callable]]:
+        m = self.re.match(key)
+        if m is None:
+            return None
+        return m.expand(self.path), self.transform
+
+
+def convert_state_dict(
+    sd: Dict[str, np.ndarray],
+    rules: Sequence[Rule],
+    strict: bool = True,
+    ignore: Sequence[str] = (),
+) -> Tuple[Dict[str, np.ndarray], List[str]]:
+    """Returns ({flax 'a/b/c' path: array}, unmatched_keys)."""
+    out: Dict[str, np.ndarray] = {}
+    unmatched: List[str] = []
+    ignore_res = [re.compile(p + r"\Z") for p in ignore]
+    for key, val in sd.items():
+        if any(r.match(key) for r in ignore_res):
+            continue
+        for rule in rules:
+            hit = rule.apply(key)
+            if hit is not None:
+                path, transform = hit
+                out[path] = transform(val)
+                break
+        else:
+            unmatched.append(key)
+    if strict and unmatched:
+        raise KeyError(f"unconverted checkpoint keys: {unmatched[:20]}"
+                       f"{'...' if len(unmatched) > 20 else ''}")
+    return out, unmatched
+
+
+def tree_from_paths(flat: Dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for path, val in flat.items():
+        node = tree
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def fill_params(template, converted: dict, strict: bool = True):
+    """Overlay converted arrays onto a flax params template (shape-checked).
+
+    Returns a new tree with the same structure as `template`."""
+    import jax
+
+    flat_t, treedef = jax.tree_util.tree_flatten_with_path(template)
+    out_leaves = []
+    missing = []
+    for path, leaf in flat_t:
+        keys = [str(getattr(p, "key", p)) for p in path]
+        node = converted
+        ok = True
+        for k in keys:
+            if isinstance(node, dict) and k in node:
+                node = node[k]
+            else:
+                ok = False
+                break
+        if ok and not isinstance(node, dict):
+            if tuple(node.shape) != tuple(leaf.shape):
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(keys)}: ckpt {node.shape} "
+                    f"vs model {leaf.shape}")
+            out_leaves.append(np.asarray(node, dtype=np.float32))
+        else:
+            missing.append("/".join(keys))
+            out_leaves.append(leaf)
+    if strict and missing:
+        raise KeyError(f"params missing from checkpoint: {missing[:20]}"
+                       f"{'...' if len(missing) > 20 else ''}")
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), out_leaves)
+
+
+# ---------------------------------------------------------------------------
+# SAM rules (official sam_vit_h checkpoint key layout)
+# ---------------------------------------------------------------------------
+
+SAM_RULES = [
+    Rule(r"image_encoder\.patch_embed\.proj\.weight",
+         r"image_encoder/patch_embed/proj/kernel", "conv"),
+    Rule(r"image_encoder\.patch_embed\.proj\.bias",
+         r"image_encoder/patch_embed/proj/bias"),
+    Rule(r"image_encoder\.pos_embed", r"image_encoder/pos_embed"),
+    Rule(r"image_encoder\.blocks\.(\d+)\.norm([12])\.weight",
+         r"image_encoder/blocks_\1/norm\2/scale"),
+    Rule(r"image_encoder\.blocks\.(\d+)\.norm([12])\.bias",
+         r"image_encoder/blocks_\1/norm\2/bias"),
+    Rule(r"image_encoder\.blocks\.(\d+)\.attn\.qkv\.weight",
+         r"image_encoder/blocks_\1/attn/qkv/kernel", "linear"),
+    Rule(r"image_encoder\.blocks\.(\d+)\.attn\.qkv\.bias",
+         r"image_encoder/blocks_\1/attn/qkv/bias"),
+    Rule(r"image_encoder\.blocks\.(\d+)\.attn\.proj\.weight",
+         r"image_encoder/blocks_\1/attn/proj/kernel", "linear"),
+    Rule(r"image_encoder\.blocks\.(\d+)\.attn\.proj\.bias",
+         r"image_encoder/blocks_\1/attn/proj/bias"),
+    Rule(r"image_encoder\.blocks\.(\d+)\.attn\.rel_pos_([hw])",
+         r"image_encoder/blocks_\1/attn/rel_pos_\2"),
+    Rule(r"image_encoder\.blocks\.(\d+)\.mlp\.lin([12])\.weight",
+         r"image_encoder/blocks_\1/mlp/fc\2/kernel", "linear"),
+    Rule(r"image_encoder\.blocks\.(\d+)\.mlp\.lin([12])\.bias",
+         r"image_encoder/blocks_\1/mlp/fc\2/bias"),
+    Rule(r"image_encoder\.neck\.0\.weight", r"image_encoder/neck_conv1/kernel", "conv"),
+    Rule(r"image_encoder\.neck\.1\.weight", r"image_encoder/neck_ln1/scale"),
+    Rule(r"image_encoder\.neck\.1\.bias", r"image_encoder/neck_ln1/bias"),
+    Rule(r"image_encoder\.neck\.2\.weight", r"image_encoder/neck_conv2/kernel", "conv"),
+    Rule(r"image_encoder\.neck\.3\.weight", r"image_encoder/neck_ln2/scale"),
+    Rule(r"image_encoder\.neck\.3\.bias", r"image_encoder/neck_ln2/bias"),
+    # prompt encoder
+    Rule(r"prompt_encoder\.pe_layer\.positional_encoding_gaussian_matrix",
+         r"prompt_encoder/pe_layer/positional_encoding_gaussian_matrix"),
+    Rule(r"prompt_encoder\.point_embeddings\.(\d)\.weight",
+         r"prompt_encoder/point_embed_\1"),
+    Rule(r"prompt_encoder\.not_a_point_embed\.weight",
+         r"prompt_encoder/not_a_point_embed"),
+    Rule(r"prompt_encoder\.no_mask_embed\.weight",
+         r"prompt_encoder/no_mask_embed"),
+    Rule(r"prompt_encoder\.mask_downscaling\.0\.weight",
+         r"prompt_encoder/mask_conv1/kernel", "conv"),
+    Rule(r"prompt_encoder\.mask_downscaling\.0\.bias",
+         r"prompt_encoder/mask_conv1/bias"),
+    Rule(r"prompt_encoder\.mask_downscaling\.1\.weight",
+         r"prompt_encoder/mask_ln1/scale"),
+    Rule(r"prompt_encoder\.mask_downscaling\.1\.bias",
+         r"prompt_encoder/mask_ln1/bias"),
+    Rule(r"prompt_encoder\.mask_downscaling\.3\.weight",
+         r"prompt_encoder/mask_conv2/kernel", "conv"),
+    Rule(r"prompt_encoder\.mask_downscaling\.3\.bias",
+         r"prompt_encoder/mask_conv2/bias"),
+    Rule(r"prompt_encoder\.mask_downscaling\.4\.weight",
+         r"prompt_encoder/mask_ln2/scale"),
+    Rule(r"prompt_encoder\.mask_downscaling\.4\.bias",
+         r"prompt_encoder/mask_ln2/bias"),
+    Rule(r"prompt_encoder\.mask_downscaling\.6\.weight",
+         r"prompt_encoder/mask_conv3/kernel", "conv"),
+    Rule(r"prompt_encoder\.mask_downscaling\.6\.bias",
+         r"prompt_encoder/mask_conv3/bias"),
+    # mask decoder transformer
+    Rule(r"mask_decoder\.transformer\.layers\.(\d)\.(self_attn|cross_attn_token_to_image|cross_attn_image_to_token)\.([qkv]_proj|out_proj)\.weight",
+         r"mask_decoder/transformer/layers_\1/\2/\3/kernel", "linear"),
+    Rule(r"mask_decoder\.transformer\.layers\.(\d)\.(self_attn|cross_attn_token_to_image|cross_attn_image_to_token)\.([qkv]_proj|out_proj)\.bias",
+         r"mask_decoder/transformer/layers_\1/\2/\3/bias"),
+    Rule(r"mask_decoder\.transformer\.layers\.(\d)\.norm(\d)\.weight",
+         r"mask_decoder/transformer/layers_\1/norm\2/scale"),
+    Rule(r"mask_decoder\.transformer\.layers\.(\d)\.norm(\d)\.bias",
+         r"mask_decoder/transformer/layers_\1/norm\2/bias"),
+    Rule(r"mask_decoder\.transformer\.layers\.(\d)\.mlp\.lin([12])\.weight",
+         r"mask_decoder/transformer/layers_\1/mlp/layer\g<2>0/kernel", "linear"),
+    Rule(r"mask_decoder\.transformer\.layers\.(\d)\.mlp\.lin([12])\.bias",
+         r"mask_decoder/transformer/layers_\1/mlp/layer\g<2>0/bias"),
+    Rule(r"mask_decoder\.transformer\.final_attn_token_to_image\.([qkv]_proj|out_proj)\.weight",
+         r"mask_decoder/transformer/final_attn_token_to_image/\1/kernel", "linear"),
+    Rule(r"mask_decoder\.transformer\.final_attn_token_to_image\.([qkv]_proj|out_proj)\.bias",
+         r"mask_decoder/transformer/final_attn_token_to_image/\1/bias"),
+    Rule(r"mask_decoder\.transformer\.norm_final_attn\.weight",
+         r"mask_decoder/transformer/norm_final_attn/scale"),
+    Rule(r"mask_decoder\.transformer\.norm_final_attn\.bias",
+         r"mask_decoder/transformer/norm_final_attn/bias"),
+    # mask decoder heads
+    Rule(r"mask_decoder\.iou_token\.weight", r"mask_decoder/iou_token"),
+    Rule(r"mask_decoder\.mask_tokens\.weight", r"mask_decoder/mask_tokens"),
+    Rule(r"mask_decoder\.output_upscaling\.0\.weight",
+         r"mask_decoder/upscale_conv1/kernel", "convT"),
+    Rule(r"mask_decoder\.output_upscaling\.0\.bias",
+         r"mask_decoder/upscale_conv1/bias"),
+    Rule(r"mask_decoder\.output_upscaling\.1\.weight",
+         r"mask_decoder/upscale_ln/scale"),
+    Rule(r"mask_decoder\.output_upscaling\.1\.bias",
+         r"mask_decoder/upscale_ln/bias"),
+    Rule(r"mask_decoder\.output_upscaling\.3\.weight",
+         r"mask_decoder/upscale_conv2/kernel", "convT"),
+    Rule(r"mask_decoder\.output_upscaling\.3\.bias",
+         r"mask_decoder/upscale_conv2/bias"),
+    Rule(r"mask_decoder\.output_hypernetworks_mlps\.(\d)\.layers\.(\d)\.weight",
+         r"mask_decoder/output_hypernetworks_mlps_\1/layer\2/kernel", "linear"),
+    Rule(r"mask_decoder\.output_hypernetworks_mlps\.(\d)\.layers\.(\d)\.bias",
+         r"mask_decoder/output_hypernetworks_mlps_\1/layer\2/bias"),
+    Rule(r"mask_decoder\.iou_prediction_head\.layers\.(\d)\.weight",
+         r"mask_decoder/iou_prediction_head/layer\1/kernel", "linear"),
+    Rule(r"mask_decoder\.iou_prediction_head\.layers\.(\d)\.bias",
+         r"mask_decoder/iou_prediction_head/layer\1/bias"),
+]
+
+
+def _mlp_layer_fixup(path: str) -> str:
+    """SAM TwoWayAttentionBlock MLP is lin1/lin2 -> our MLPBlock layer0/layer1."""
+    return path
+
+
+def load_sam_params(path: str, cfg, model, example_args):
+    import jax
+
+    sd = load_torch_state_dict(path)
+    flat, _ = convert_state_dict(sd, SAM_RULES, strict=True)
+    # fix MLPBlock naming: lin1->layer0, lin2->layer1 produced 'layer10/layer20'
+    fixed = {}
+    for k, v in flat.items():
+        k = k.replace("/mlp/layer10/", "/mlp/layer0/")
+        k = k.replace("/mlp/layer20/", "/mlp/layer1/")
+        fixed[k] = v
+    tree = {"params": tree_from_paths(fixed)}
+    template = jax.eval_shape(
+        lambda k: model.init(k, *example_args), jax.random.key(0))
+    return fill_params(template, tree)
+
+
+# ---------------------------------------------------------------------------
+# Depth-Anything-V2 rules
+# ---------------------------------------------------------------------------
+
+DEPTH_RULES = [
+    Rule(r"pretrained\.cls_token", r"pretrained/cls_token"),
+    Rule(r"pretrained\.pos_embed", r"pretrained/pos_embed"),
+    Rule(r"pretrained\.patch_embed\.proj\.weight",
+         r"pretrained/patch_embed_proj/kernel", "conv"),
+    Rule(r"pretrained\.patch_embed\.proj\.bias",
+         r"pretrained/patch_embed_proj/bias"),
+    Rule(r"pretrained\.blocks\.(\d+)\.norm([12])\.weight",
+         r"pretrained/blocks_\1/norm\2/scale"),
+    Rule(r"pretrained\.blocks\.(\d+)\.norm([12])\.bias",
+         r"pretrained/blocks_\1/norm\2/bias"),
+    Rule(r"pretrained\.blocks\.(\d+)\.attn\.qkv\.weight",
+         r"pretrained/blocks_\1/attn_qkv/kernel", "linear"),
+    Rule(r"pretrained\.blocks\.(\d+)\.attn\.qkv\.bias",
+         r"pretrained/blocks_\1/attn_qkv/bias"),
+    Rule(r"pretrained\.blocks\.(\d+)\.attn\.proj\.weight",
+         r"pretrained/blocks_\1/attn_proj/kernel", "linear"),
+    Rule(r"pretrained\.blocks\.(\d+)\.attn\.proj\.bias",
+         r"pretrained/blocks_\1/attn_proj/bias"),
+    Rule(r"pretrained\.blocks\.(\d+)\.ls([12])\.gamma",
+         r"pretrained/blocks_\1/ls\2_gamma"),
+    Rule(r"pretrained\.blocks\.(\d+)\.mlp\.fc([12])\.weight",
+         r"pretrained/blocks_\1/mlp/fc\2/kernel", "linear"),
+    Rule(r"pretrained\.blocks\.(\d+)\.mlp\.fc([12])\.bias",
+         r"pretrained/blocks_\1/mlp/fc\2/bias"),
+    Rule(r"pretrained\.norm\.weight", r"pretrained/norm/scale"),
+    Rule(r"pretrained\.norm\.bias", r"pretrained/norm/bias"),
+    # DPT head
+    Rule(r"depth_head\.projects\.(\d)\.weight",
+         r"depth_head/projects_\1/kernel", "conv"),
+    Rule(r"depth_head\.projects\.(\d)\.bias", r"depth_head/projects_\1/bias"),
+    Rule(r"depth_head\.resize_layers\.0\.weight",
+         r"depth_head/resize_0/kernel", "convT"),
+    Rule(r"depth_head\.resize_layers\.0\.bias", r"depth_head/resize_0/bias"),
+    Rule(r"depth_head\.resize_layers\.1\.weight",
+         r"depth_head/resize_1/kernel", "convT"),
+    Rule(r"depth_head\.resize_layers\.1\.bias", r"depth_head/resize_1/bias"),
+    Rule(r"depth_head\.resize_layers\.3\.weight",
+         r"depth_head/resize_3/kernel", "conv"),
+    Rule(r"depth_head\.resize_layers\.3\.bias", r"depth_head/resize_3/bias"),
+    Rule(r"depth_head\.scratch\.layer(\d)_rn\.weight",
+         r"depth_head/scratch_layer\1_rn/kernel", "conv"),
+    Rule(r"depth_head\.scratch\.refinenet(\d)\.out_conv\.weight",
+         r"depth_head/refinenet\1/out_conv/kernel", "conv"),
+    Rule(r"depth_head\.scratch\.refinenet(\d)\.out_conv\.bias",
+         r"depth_head/refinenet\1/out_conv/bias"),
+    Rule(r"depth_head\.scratch\.refinenet(\d)\.resConfUnit([12])\.conv([12])\.weight",
+         r"depth_head/refinenet\1/resConfUnit\2/conv\3/kernel", "conv"),
+    Rule(r"depth_head\.scratch\.refinenet(\d)\.resConfUnit([12])\.conv([12])\.bias",
+         r"depth_head/refinenet\1/resConfUnit\2/conv\3/bias"),
+    Rule(r"depth_head\.scratch\.output_conv1\.weight",
+         r"depth_head/output_conv1/kernel", "conv"),
+    Rule(r"depth_head\.scratch\.output_conv1\.bias",
+         r"depth_head/output_conv1/bias"),
+    Rule(r"depth_head\.scratch\.output_conv2\.0\.weight",
+         r"depth_head/output_conv2_0/kernel", "conv"),
+    Rule(r"depth_head\.scratch\.output_conv2\.0\.bias",
+         r"depth_head/output_conv2_0/bias"),
+    Rule(r"depth_head\.scratch\.output_conv2\.2\.weight",
+         r"depth_head/output_conv2_2/kernel", "conv"),
+    Rule(r"depth_head\.scratch\.output_conv2\.2\.bias",
+         r"depth_head/output_conv2_2/bias"),
+]
+
+
+def load_depth_params(path: str, cfg, model, example_args):
+    import jax
+
+    sd = load_torch_state_dict(path)
+    flat, _ = convert_state_dict(
+        sd, DEPTH_RULES, strict=True,
+        ignore=[r"pretrained\.mask_token", r"pretrained\.register_tokens"])
+    tree = {"params": tree_from_paths(flat)}
+    template = jax.eval_shape(
+        lambda k: model.init(k, *example_args), jax.random.key(0))
+    return fill_params(template, tree)
+
+
+# ---------------------------------------------------------------------------
+# GroundingDINO rules (largest map; see gdino model modules for naming)
+# ---------------------------------------------------------------------------
+
+
+def _swin_block_path(stage: str, blk: str) -> str:
+    return f"backbone/layers_{stage}_blocks_{blk}"
+
+
+GDINO_RULES = [
+    # BERT
+    Rule(r"bert\.embeddings\.word_embeddings\.weight",
+         r"bert/word_embeddings/embedding"),
+    Rule(r"bert\.embeddings\.position_embeddings\.weight",
+         r"bert/position_embeddings/embedding"),
+    Rule(r"bert\.embeddings\.token_type_embeddings\.weight",
+         r"bert/token_type_embeddings/embedding"),
+    Rule(r"bert\.embeddings\.LayerNorm\.weight", r"bert/embeddings_norm/scale"),
+    Rule(r"bert\.embeddings\.LayerNorm\.bias", r"bert/embeddings_norm/bias"),
+    Rule(r"bert\.encoder\.layer\.(\d+)\.attention\.self\.(query|key|value)\.weight",
+         r"bert/layer_\1/attention_self/\2/kernel", "linear"),
+    Rule(r"bert\.encoder\.layer\.(\d+)\.attention\.self\.(query|key|value)\.bias",
+         r"bert/layer_\1/attention_self/\2/bias"),
+    Rule(r"bert\.encoder\.layer\.(\d+)\.attention\.output\.dense\.weight",
+         r"bert/layer_\1/attention_output_dense/kernel", "linear"),
+    Rule(r"bert\.encoder\.layer\.(\d+)\.attention\.output\.dense\.bias",
+         r"bert/layer_\1/attention_output_dense/bias"),
+    Rule(r"bert\.encoder\.layer\.(\d+)\.attention\.output\.LayerNorm\.weight",
+         r"bert/layer_\1/attention_output_norm/scale"),
+    Rule(r"bert\.encoder\.layer\.(\d+)\.attention\.output\.LayerNorm\.bias",
+         r"bert/layer_\1/attention_output_norm/bias"),
+    Rule(r"bert\.encoder\.layer\.(\d+)\.intermediate\.dense\.weight",
+         r"bert/layer_\1/intermediate_dense/kernel", "linear"),
+    Rule(r"bert\.encoder\.layer\.(\d+)\.intermediate\.dense\.bias",
+         r"bert/layer_\1/intermediate_dense/bias"),
+    Rule(r"bert\.encoder\.layer\.(\d+)\.output\.dense\.weight",
+         r"bert/layer_\1/output_dense/kernel", "linear"),
+    Rule(r"bert\.encoder\.layer\.(\d+)\.output\.dense\.bias",
+         r"bert/layer_\1/output_dense/bias"),
+    Rule(r"bert\.encoder\.layer\.(\d+)\.output\.LayerNorm\.weight",
+         r"bert/layer_\1/output_norm/scale"),
+    Rule(r"bert\.encoder\.layer\.(\d+)\.output\.LayerNorm\.bias",
+         r"bert/layer_\1/output_norm/bias"),
+    # feat map 768 -> 256
+    Rule(r"feat_map\.weight", r"feat_map/kernel", "linear"),
+    Rule(r"feat_map\.bias", r"feat_map/bias"),
+    # Swin backbone (backbone.0.* in gdino checkpoints)
+    Rule(r"backbone\.0\.patch_embed\.proj\.weight",
+         r"backbone/patch_embed_proj/kernel", "conv"),
+    Rule(r"backbone\.0\.patch_embed\.proj\.bias",
+         r"backbone/patch_embed_proj/bias"),
+    Rule(r"backbone\.0\.patch_embed\.norm\.weight",
+         r"backbone/patch_embed_norm/scale"),
+    Rule(r"backbone\.0\.patch_embed\.norm\.bias",
+         r"backbone/patch_embed_norm/bias"),
+    Rule(r"backbone\.0\.layers\.(\d)\.blocks\.(\d+)\.norm([12])\.weight",
+         r"backbone/layers_\1_blocks_\2/norm\3/scale"),
+    Rule(r"backbone\.0\.layers\.(\d)\.blocks\.(\d+)\.norm([12])\.bias",
+         r"backbone/layers_\1_blocks_\2/norm\3/bias"),
+    Rule(r"backbone\.0\.layers\.(\d)\.blocks\.(\d+)\.attn\.relative_position_bias_table",
+         r"backbone/layers_\1_blocks_\2/attn/relative_position_bias_table"),
+    Rule(r"backbone\.0\.layers\.(\d)\.blocks\.(\d+)\.attn\.qkv\.weight",
+         r"backbone/layers_\1_blocks_\2/attn/qkv/kernel", "linear"),
+    Rule(r"backbone\.0\.layers\.(\d)\.blocks\.(\d+)\.attn\.qkv\.bias",
+         r"backbone/layers_\1_blocks_\2/attn/qkv/bias"),
+    Rule(r"backbone\.0\.layers\.(\d)\.blocks\.(\d+)\.attn\.proj\.weight",
+         r"backbone/layers_\1_blocks_\2/attn/proj/kernel", "linear"),
+    Rule(r"backbone\.0\.layers\.(\d)\.blocks\.(\d+)\.attn\.proj\.bias",
+         r"backbone/layers_\1_blocks_\2/attn/proj/bias"),
+    Rule(r"backbone\.0\.layers\.(\d)\.blocks\.(\d+)\.mlp\.fc([12])\.weight",
+         r"backbone/layers_\1_blocks_\2/mlp/fc\3/kernel", "linear"),
+    Rule(r"backbone\.0\.layers\.(\d)\.blocks\.(\d+)\.mlp\.fc([12])\.bias",
+         r"backbone/layers_\1_blocks_\2/mlp/fc\3/bias"),
+    Rule(r"backbone\.0\.layers\.(\d)\.downsample\.norm\.weight",
+         r"backbone/layers_\1_downsample/norm/scale"),
+    Rule(r"backbone\.0\.layers\.(\d)\.downsample\.norm\.bias",
+         r"backbone/layers_\1_downsample/norm/bias"),
+    Rule(r"backbone\.0\.layers\.(\d)\.downsample\.reduction\.weight",
+         r"backbone/layers_\1_downsample/reduction/kernel", "linear"),
+    Rule(r"backbone\.0\.norm([123])\.weight", r"backbone/out_norm_\1/scale"),
+    Rule(r"backbone\.0\.norm([123])\.bias", r"backbone/out_norm_\1/bias"),
+    # input projections
+    Rule(r"input_proj\.(\d)\.0\.weight", r"input_proj_\1_conv/kernel", "conv"),
+    Rule(r"input_proj\.(\d)\.0\.bias", r"input_proj_\1_conv/bias"),
+    Rule(r"input_proj\.(\d)\.1\.weight", r"input_proj_\1_norm/scale"),
+    Rule(r"input_proj\.(\d)\.1\.bias", r"input_proj_\1_norm/bias"),
+    # transformer level embed + enc output
+    Rule(r"transformer\.level_embed", r"transformer/level_embed"),
+    Rule(r"transformer\.enc_output\.weight", r"transformer/enc_output/kernel",
+         "linear"),
+    Rule(r"transformer\.enc_output\.bias", r"transformer/enc_output/bias"),
+    Rule(r"transformer\.enc_output_norm\.weight",
+         r"transformer/enc_output_norm/scale"),
+    Rule(r"transformer\.enc_output_norm\.bias",
+         r"transformer/enc_output_norm/bias"),
+    Rule(r"transformer\.tgt_embed\.weight", r"transformer/tgt_embed"),
+    Rule(r"transformer\.enc_out_bbox_embed\.layers\.(\d)\.weight",
+         r"transformer/enc_out_bbox_embed/layer\1/kernel", "linear"),
+    Rule(r"transformer\.enc_out_bbox_embed\.layers\.(\d)\.bias",
+         r"transformer/enc_out_bbox_embed/layer\1/bias"),
+    # encoder fusion layers
+    Rule(r"transformer\.encoder\.fusion_layers\.(\d)\.layer_norm_([vl])\.weight",
+         r"transformer/enc_fusion_\1/layer_norm_\2/scale"),
+    Rule(r"transformer\.encoder\.fusion_layers\.(\d)\.layer_norm_([vl])\.bias",
+         r"transformer/enc_fusion_\1/layer_norm_\2/bias"),
+    Rule(r"transformer\.encoder\.fusion_layers\.(\d)\.attn\.([vl]_proj|values_[vl]_proj|out_[vl]_proj)\.weight",
+         r"transformer/enc_fusion_\1/attn/\2/kernel", "linear"),
+    Rule(r"transformer\.encoder\.fusion_layers\.(\d)\.attn\.([vl]_proj|values_[vl]_proj|out_[vl]_proj)\.bias",
+         r"transformer/enc_fusion_\1/attn/\2/bias"),
+    Rule(r"transformer\.encoder\.fusion_layers\.(\d)\.gamma_([vl])",
+         r"transformer/enc_fusion_\1/gamma_\2"),
+    # encoder text layers
+    Rule(r"transformer\.encoder\.text_layers\.(\d)\.self_attn\.in_proj_(weight|bias)",
+         r"__special_text_in_proj_\1_\2"),
+    Rule(r"transformer\.encoder\.text_layers\.(\d)\.self_attn\.out_proj\.weight",
+         r"transformer/enc_text_\1/out_proj/kernel", "linear"),
+    Rule(r"transformer\.encoder\.text_layers\.(\d)\.self_attn\.out_proj\.bias",
+         r"transformer/enc_text_\1/out_proj/bias"),
+    Rule(r"transformer\.encoder\.text_layers\.(\d)\.linear([12])\.weight",
+         r"transformer/enc_text_\1/linear\2/kernel", "linear"),
+    Rule(r"transformer\.encoder\.text_layers\.(\d)\.linear([12])\.bias",
+         r"transformer/enc_text_\1/linear\2/bias"),
+    Rule(r"transformer\.encoder\.text_layers\.(\d)\.norm([12])\.weight",
+         r"transformer/enc_text_\1/norm\2/scale"),
+    Rule(r"transformer\.encoder\.text_layers\.(\d)\.norm([12])\.bias",
+         r"transformer/enc_text_\1/norm\2/bias"),
+    # encoder deformable layers
+    Rule(r"transformer\.encoder\.layers\.(\d)\.self_attn\.(sampling_offsets|attention_weights|value_proj|output_proj)\.weight",
+         r"transformer/enc_layer_\1/self_attn/\2/kernel", "linear"),
+    Rule(r"transformer\.encoder\.layers\.(\d)\.self_attn\.(sampling_offsets|attention_weights|value_proj|output_proj)\.bias",
+         r"transformer/enc_layer_\1/self_attn/\2/bias"),
+    Rule(r"transformer\.encoder\.layers\.(\d)\.linear([12])\.weight",
+         r"transformer/enc_layer_\1/linear\2/kernel", "linear"),
+    Rule(r"transformer\.encoder\.layers\.(\d)\.linear([12])\.bias",
+         r"transformer/enc_layer_\1/linear\2/bias"),
+    Rule(r"transformer\.encoder\.layers\.(\d)\.norm([12])\.weight",
+         r"transformer/enc_layer_\1/norm\2/scale"),
+    Rule(r"transformer\.encoder\.layers\.(\d)\.norm([12])\.bias",
+         r"transformer/enc_layer_\1/norm\2/bias"),
+    # decoder layers: self attn (in_proj special), text ca, deform ca, ffn
+    Rule(r"transformer\.decoder\.layers\.(\d)\.self_attn\.in_proj_(weight|bias)",
+         r"__special_dec_sa_in_proj_\1_\2"),
+    Rule(r"transformer\.decoder\.layers\.(\d)\.self_attn\.out_proj\.weight",
+         r"transformer/dec_layer_\1/sa_out/kernel", "linear"),
+    Rule(r"transformer\.decoder\.layers\.(\d)\.self_attn\.out_proj\.bias",
+         r"transformer/dec_layer_\1/sa_out/bias"),
+    Rule(r"transformer\.decoder\.layers\.(\d)\.ca_text\.in_proj_(weight|bias)",
+         r"__special_dec_ca_in_proj_\1_\2"),
+    Rule(r"transformer\.decoder\.layers\.(\d)\.ca_text\.out_proj\.weight",
+         r"transformer/dec_layer_\1/ca_text_out/kernel", "linear"),
+    Rule(r"transformer\.decoder\.layers\.(\d)\.ca_text\.out_proj\.bias",
+         r"transformer/dec_layer_\1/ca_text_out/bias"),
+    Rule(r"transformer\.decoder\.layers\.(\d)\.catext_norm\.weight",
+         r"transformer/dec_layer_\1/catext_norm/scale"),
+    Rule(r"transformer\.decoder\.layers\.(\d)\.catext_norm\.bias",
+         r"transformer/dec_layer_\1/catext_norm/bias"),
+    Rule(r"transformer\.decoder\.layers\.(\d)\.cross_attn\.(sampling_offsets|attention_weights|value_proj|output_proj)\.weight",
+         r"transformer/dec_layer_\1/cross_attn/\2/kernel", "linear"),
+    Rule(r"transformer\.decoder\.layers\.(\d)\.cross_attn\.(sampling_offsets|attention_weights|value_proj|output_proj)\.bias",
+         r"transformer/dec_layer_\1/cross_attn/\2/bias"),
+    Rule(r"transformer\.decoder\.layers\.(\d)\.linear([12])\.weight",
+         r"transformer/dec_layer_\1/linear\2/kernel", "linear"),
+    Rule(r"transformer\.decoder\.layers\.(\d)\.linear([12])\.bias",
+         r"transformer/dec_layer_\1/linear\2/bias"),
+    Rule(r"transformer\.decoder\.layers\.(\d)\.norm([123])\.weight",
+         r"transformer/dec_layer_\1/norm\2/scale"),
+    Rule(r"transformer\.decoder\.layers\.(\d)\.norm([123])\.bias",
+         r"transformer/dec_layer_\1/norm\2/bias"),
+    Rule(r"transformer\.decoder\.norm\.weight", r"transformer/dec_norm/scale"),
+    Rule(r"transformer\.decoder\.norm\.bias", r"transformer/dec_norm/bias"),
+    Rule(r"transformer\.decoder\.ref_point_head\.layers\.(\d)\.weight",
+         r"transformer/ref_point_head/layer\1/kernel", "linear"),
+    Rule(r"transformer\.decoder\.ref_point_head\.layers\.(\d)\.bias",
+         r"transformer/ref_point_head/layer\1/bias"),
+    # shared bbox embed (bbox_embed.0 == decoder.bbox_embed[i], shared)
+    Rule(r"bbox_embed\.0\.layers\.(\d)\.weight",
+         r"transformer/bbox_embed/layer\1/kernel", "linear"),
+    Rule(r"bbox_embed\.0\.layers\.(\d)\.bias",
+         r"transformer/bbox_embed/layer\1/bias"),
+]
+
+GDINO_IGNORE = [
+    r"bert\.pooler\..*",
+    r"bert\.embeddings\.position_ids",
+    r"bbox_embed\.[1-9]\..*",  # shared copies of bbox_embed.0
+    r"transformer\.decoder\.bbox_embed\..*",  # same shared object
+    r"label_enc\..*",  # denoising-training embedding, unused at inference
+]
+
+
+def _split_in_proj(flat: Dict[str, np.ndarray], n_layers: int):
+    """nn.MultiheadAttention packed in_proj -> separate q/k/v Dense params."""
+    out = dict(flat)
+    for i in range(n_layers):
+        for tag, base in (("dec_sa", "sa"), ("dec_ca", "ca_text")):
+            wkey = f"__special_{tag}_in_proj_{i}_weight"
+            bkey = f"__special_{tag}_in_proj_{i}_bias"
+            if wkey not in out:
+                continue
+            w = out.pop(wkey)
+            b = out.pop(bkey)
+            d = w.shape[0] // 3
+            names = ("q", "k", "v")
+            for j, nm in enumerate(names):
+                out[f"transformer/dec_layer_{i}/{base}_{nm}/kernel"] = \
+                    _t_linear(w[j * d:(j + 1) * d])
+                out[f"transformer/dec_layer_{i}/{base}_{nm}/bias"] = \
+                    b[j * d:(j + 1) * d]
+    # text enhancer layers
+    for i in range(64):
+        wkey = f"__special_text_in_proj_{i}_weight"
+        bkey = f"__special_text_in_proj_{i}_bias"
+        if wkey not in out:
+            continue
+        w = out.pop(wkey)
+        b = out.pop(bkey)
+        d = w.shape[0] // 3
+        for j, nm in enumerate(("q", "k", "v")):
+            out[f"transformer/enc_text_{i}/{nm}_proj/kernel"] = \
+                _t_linear(w[j * d:(j + 1) * d])
+            out[f"transformer/enc_text_{i}/{nm}_proj/bias"] = b[j * d:(j + 1) * d]
+    return out
+
+
+def load_gdino_params(path: str, cfg, model, example_args):
+    import jax
+
+    sd = load_torch_state_dict(path)
+    flat, _ = convert_state_dict(sd, GDINO_RULES, strict=True,
+                                 ignore=GDINO_IGNORE)
+    flat = _split_in_proj(flat, cfg.dec_layers)
+    tree = {"params": tree_from_paths(flat)}
+    template = jax.eval_shape(
+        lambda k: model.init(k, *example_args), jax.random.key(0))
+    return fill_params(template, tree)

@@ -120,7 +120,7 @@ class MaskDecoder(nn.Module):
     transformer_dim: int = 256
     num_multimask_outputs: int = 3
     iou_head_depth: int = 3
-    iou_head_hidden_dim: int = 256
+    iou_head_hidden_dim: int = 0  # 0 -> transformer_dim (256 for ViT-H)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -179,7 +179,8 @@ class MaskDecoder(nn.Module):
             "bmc,bhwc->bmhw", hyper_in, upscaled,
             preferred_element_type=jnp.float32)
 
-        iou_pred = MLPBlock(self.iou_head_hidden_dim, num_mask_tokens,
+        iou_pred = MLPBlock(self.iou_head_hidden_dim or self.transformer_dim,
+                            num_mask_tokens,
                             num_layers=self.iou_head_depth, dtype=self.dtype,
                             name="iou_prediction_head")(iou_token_out)
         if multimask_output:

@@ -1,0 +1,166 @@
+"""Pipeline orchestrator: detect -> segment -> clean -> NMS -> depth-sort ->
+refine -> (inpaint) with the reference's exact output-directory contract.
+
+Parity target: InkLayer/runner.py run_inklayer_pipeline (:21-103).
+
+TPU redesign: the reference moves every intermediate through PNG files on
+disk and re-reads them in the next stage (runner.py:57-63 etc.) and rebuilds
+SAM per image (segmentor/sam.py:23).  Here all intermediates stay in memory
+(device where hot), models are built once, and the stage jits are cached
+across images (bucketed static shapes) — disk writes happen only for the
+output contract.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from inklayer_tpu.config import PipelineConfig
+from inklayer_tpu.io import outputs as io_out
+from inklayer_tpu.ops.color import color_sketch_by_masks, generate_pastel_colors
+from inklayer_tpu.pipeline.refine.mask_cleaner import run_clean_masks
+from inklayer_tpu.pipeline.refine.nms import sketch_nms
+from inklayer_tpu.pipeline.refine.refiner import improve_masks, parse_masks_to_disjoint
+
+
+def _to_gray(rgb: np.ndarray) -> np.ndarray:
+    return np.asarray(Image.fromarray(rgb).convert("L"))
+
+
+@dataclass
+class StageTimes:
+    times: Dict[str, float] = field(default_factory=dict)
+
+    def add(self, name: str, dt: float):
+        self.times[name] = self.times.get(name, 0.0) + dt
+
+
+class InkLayerPipeline:
+    """End-to-end pipeline. Models are injected (built once by the caller —
+    see inklayer_tpu.build.build_pipeline)."""
+
+    def __init__(self, detector, sam_predictor, depth_estimator,
+                 inpainter=None, cfg: PipelineConfig = PipelineConfig()):
+        self.detector = detector
+        self.sam = sam_predictor
+        self.depth = depth_estimator
+        self.inpainter = inpainter
+        self.cfg = cfg
+        self.stage_times = StageTimes()
+
+    # ------------------------------------------------------------------
+    def run(self, input_path: str, out_base_dir: str,
+            no_intermediate: bool = False, inpaint: bool = False) -> str:
+        cfg = self.cfg
+        input_name = os.path.basename(input_path).split(".")[0]
+        image_pil = Image.open(input_path).convert("RGB")
+        image = np.asarray(image_pil)
+        h, w = image.shape[:2]
+        gray = _to_gray(image)
+
+        out_dir = io_out.prepare_out_dir(out_base_dir, input_name)
+        image_pil.save(os.path.join(out_dir, "input.png"))
+
+        # ---- detection -------------------------------------------------
+        t0 = time.perf_counter()
+        det = self.detector.detect(image)
+        self.stage_times.add("detect", time.perf_counter() - t0)
+        boxes_cxcywh = det["boxes"]  # normalized
+        scores = det["scores"]
+        # cxcywh -> xyxy normalized -> abs int (utils/processing.py:6-33)
+        xyxy_norm = np.stack([
+            boxes_cxcywh[:, 0] - boxes_cxcywh[:, 2] / 2,
+            boxes_cxcywh[:, 1] - boxes_cxcywh[:, 3] / 2,
+            boxes_cxcywh[:, 0] + boxes_cxcywh[:, 2] / 2,
+            boxes_cxcywh[:, 1] + boxes_cxcywh[:, 3] / 2,
+        ], axis=-1) if len(boxes_cxcywh) else np.zeros((0, 4))
+        boxes_abs = (xyxy_norm * np.asarray([w, h, w, h])).astype(int).astype(float)
+
+        io_out.save_norm_bboxes(boxes_abs, scores, image_pil.size,
+                                os.path.join(out_dir, "bboxes.json"))
+        io_out.draw_boxes_image(image_pil, xyxy_norm.tolist(), scores).save(
+            os.path.join(out_dir, "bboxes.png"))
+
+        # ---- segmentation ----------------------------------------------
+        t0 = time.perf_counter()
+        if len(boxes_abs):
+            self.sam.set_image(image)
+            masks, _iou, _ = self.sam.predict(boxes_abs)
+        else:
+            masks = np.zeros((0, h, w), bool)
+        self.stage_times.add("segment", time.perf_counter() - t0)
+        io_out.save_masks_dir(masks, os.path.join(out_dir, "masks"))
+        seg = color_sketch_by_masks(image, list(masks))
+        Image.fromarray(seg).save(os.path.join(out_dir, "segmented_sketch.png"))
+
+        # ---- mask cleaning ----------------------------------------------
+        t0 = time.perf_counter()
+        cleaned = run_clean_masks(masks.astype(np.uint8) * 255, cfg.refine)
+        self.stage_times.add("clean", time.perf_counter() - t0)
+        io_out.save_masks_dir(cleaned, os.path.join(out_dir, "masks_cleaned"))
+
+        # ---- sketch NMS --------------------------------------------------
+        t0 = time.perf_counter()
+        kept = sketch_nms(boxes_abs, scores, cleaned, gray, cfg.refine)
+        self.stage_times.add("nms", time.perf_counter() - t0)
+        final_norm = [xyxy_norm[i].tolist() for i in kept]
+        final_data = {
+            "bboxes": final_norm,
+            "scores": [float(scores[i]) for i in kept],
+            "kept_indices": [int(i) for i in kept],
+            "threshold": cfg.refine.nms_iou,
+        }
+        import json
+        with open(os.path.join(out_dir, "bboxes_final.json"), "w") as f:
+            json.dump(final_data, f, indent=4)
+        io_out.draw_boxes_image(image_pil, final_norm,
+                                final_data["scores"]).save(
+            os.path.join(out_dir, "bboxes_final.png"))
+
+        # ---- depth + refinement ------------------------------------------
+        t0 = time.perf_counter()
+        depth = self.depth.infer_image(image)
+        self.stage_times.add("depth", time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        kept_masks = cleaned[kept] if len(kept) else np.zeros((0, h, w), bool)
+        kept_boxes = np.asarray(
+            [[int(xyxy_norm[i][0] * w), int(xyxy_norm[i][1] * h),
+              int(xyxy_norm[i][2] * w), int(xyxy_norm[i][3] * h)]
+             for i in kept], float) if len(kept) else np.zeros((0, 4))
+        disjoint, sorted_boxes, _info = parse_masks_to_disjoint(
+            kept_masks, kept_boxes, gray, depth, cfg.refine)
+        io_out.save_masks_dir(
+            np.stack(disjoint) if disjoint else np.zeros((0, h, w), bool),
+            os.path.join(out_dir, "masks_disjoint"))
+        final_masks = improve_masks(
+            np.stack(disjoint) if disjoint else np.zeros((0, h, w), bool),
+            np.asarray(sorted_boxes) if sorted_boxes else np.zeros((0, 4)),
+            gray, cfg.refine)
+        self.stage_times.add("refine", time.perf_counter() - t0)
+
+        io_out.save_masks_dir(final_masks, os.path.join(out_dir, "masks_final"))
+        io_out.save_depth_map(depth, os.path.join(out_dir, "depth_map.png"))
+        final_seg = color_sketch_by_masks(image, list(final_masks))
+        Image.fromarray(final_seg).save(
+            os.path.join(out_dir, "segmented_sketch_final.png"))
+
+        # ---- inpainting ---------------------------------------------------
+        if inpaint:
+            if self.inpainter is None:
+                print("Inpainting requested but no inpainter is configured; "
+                      "skipping (provide diffusion weights to enable).")
+            else:
+                t0 = time.perf_counter()
+                self.inpainter.run_on_sketch_dir(out_dir)
+                self.stage_times.add("inpaint", time.perf_counter() - t0)
+
+        if no_intermediate:
+            io_out.cleanup_intermediate(out_dir)
+        return out_dir

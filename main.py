@@ -1,0 +1,63 @@
+"""CLI entry point — reference-compatible (main.py:8-32):
+
+    python main.py --img <path> | --dir <path> [--out_dir ./output]
+                   [--no_intermediate] [--inpaint]
+
+Extras over the reference: --models_dir (checkpoints to convert),
+--config (JSON PipelineConfig), --cpu (force CPU backend).
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+
+def main():
+    parser = argparse.ArgumentParser(description="InkLayer-TPU scene-sketch segmentation")
+    parser.add_argument("--img", type=str, default=None, help="single input image")
+    parser.add_argument("--dir", type=str, default=None,
+                        help="directory of input images (*.png, *.jpg)")
+    parser.add_argument("--out_dir", type=str, default="./output")
+    parser.add_argument("--no_intermediate", action="store_true",
+                        help="delete intermediate outputs, keep final layers")
+    parser.add_argument("--inpaint", action="store_true",
+                        help="run occluded-stroke inpainting")
+    parser.add_argument("--models_dir", type=str, default=None,
+                        help="directory with reference .pth checkpoints")
+    parser.add_argument("--config", type=str, default=None,
+                        help="JSON PipelineConfig path")
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.img is None and args.dir is None:
+        parser.error("provide --img or --dir")
+
+    from inklayer_tpu.config import PipelineConfig, load_config
+    from inklayer_tpu.build import build_pipeline
+
+    cfg = load_config(args.config) if args.config else PipelineConfig()
+    pipeline = build_pipeline(cfg, models_dir=args.models_dir)
+
+    if args.img is not None:
+        paths = [args.img]
+    else:
+        paths = sorted(glob.glob(os.path.join(args.dir, "*.png"))
+                       + glob.glob(os.path.join(args.dir, "*.jpg")))
+    if not paths:
+        print("no input images found", file=sys.stderr)
+        sys.exit(1)
+
+    for p in paths:
+        out = pipeline.run(p, args.out_dir, args.no_intermediate, args.inpaint)
+        print(f"{p} -> {out}")
+    print("stage times (s):",
+          {k: round(v, 2) for k, v in pipeline.stage_times.times.items()})
+
+
+if __name__ == "__main__":
+    main()

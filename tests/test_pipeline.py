@@ -1,0 +1,92 @@
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from inklayer_tpu.build import build_pipeline
+from inklayer_tpu.config import (
+    DepthConfig,
+    PipelineConfig,
+    RefineConfig,
+    SamConfig,
+)
+from tests.test_gdino import TINY as TINY_GDINO
+from tests.test_sam import TINY as TINY_SAM
+from tests.test_depth import TINY as TINY_DEPTH
+
+TINY_PIPE = PipelineConfig(
+    gdino=TINY_GDINO,
+    sam=TINY_SAM,
+    depth=TINY_DEPTH,
+    refine=RefineConfig(min_cc_area=20),
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return build_pipeline(TINY_PIPE)
+
+
+@pytest.fixture()
+def sketch_file(tmp_path):
+    g = np.full((96, 96, 3), 255, np.uint8)
+    g[10:40, 10:12] = 0
+    g[10:40, 38:40] = 0
+    g[10:12, 10:40] = 0
+    g[38:40, 10:40] = 0
+    g[50:80, 50:80] = 30
+    path = tmp_path / "toy_sketch.png"
+    Image.fromarray(g).save(path)
+    return str(path)
+
+
+EXPECTED_LAYOUT = [
+    "input.png", "bboxes.json", "bboxes.png", "masks", "segmented_sketch.png",
+    "masks_cleaned", "bboxes_final.json", "bboxes_final.png", "masks_disjoint",
+    "depth_map.png", "masks_final", "segmented_sketch_final.png",
+]
+
+
+def test_pipeline_output_layout(pipeline, sketch_file, tmp_path):
+    out_dir = pipeline.run(sketch_file, str(tmp_path / "out"))
+    assert os.path.basename(out_dir) == "toy_sketch"
+    for item in EXPECTED_LAYOUT:
+        assert os.path.exists(os.path.join(out_dir, item)), item
+    with open(os.path.join(out_dir, "bboxes.json")) as f:
+        data = json.load(f)
+    assert set(data) == {"bboxes", "scores"}
+    for b in data["bboxes"]:
+        assert len(b) == 4 and all(-0.5 <= v <= 1.5 for v in b)
+    with open(os.path.join(out_dir, "bboxes_final.json")) as f:
+        final = json.load(f)
+    assert set(final) == {"bboxes", "scores", "kept_indices", "threshold"}
+    assert len(final["bboxes"]) == len(final["kept_indices"])
+    # masks dirs contain mask_{i}.png at image resolution
+    masks = sorted(os.listdir(os.path.join(out_dir, "masks")))
+    if masks:
+        m = np.asarray(Image.open(os.path.join(out_dir, "masks", masks[0])))
+        assert m.shape == (96, 96)
+        assert set(np.unique(m)) <= {0, 255}
+
+
+def test_pipeline_no_intermediate(pipeline, sketch_file, tmp_path):
+    out_dir = pipeline.run(sketch_file, str(tmp_path / "out2"),
+                           no_intermediate=True)
+    remaining = set(os.listdir(out_dir))
+    assert "masks" not in remaining
+    assert "masks_cleaned" not in remaining
+    assert "input.png" in remaining
+    assert "masks_final" in remaining
+    assert "segmented_sketch_final.png" in remaining
+
+
+def test_pipeline_rerun_overwrites(pipeline, sketch_file, tmp_path):
+    out1 = pipeline.run(sketch_file, str(tmp_path / "out3"))
+    marker = os.path.join(out1, "stale_file.txt")
+    with open(marker, "w") as f:
+        f.write("stale")
+    out2 = pipeline.run(sketch_file, str(tmp_path / "out3"))
+    assert out1 == out2
+    assert not os.path.exists(marker)  # reference wipes pre-existing out dir
