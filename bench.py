@@ -1,0 +1,153 @@
+"""Benchmark: p50 single-sketch detect+segment latency on the current
+backend (BASELINE.json metric).  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
+
+vs_baseline is the speedup over the CPU-backend reference time for the same
+workload, read from BASELINE_CPU.json (generate once with --calibrate-cpu;
+that runs the identical compute path on XLA:CPU — the closest available
+stand-in for the reference's CPU torch path, which cannot run here: no
+GPU, no reference weights, torchvision/timm absent).
+
+Measurement notes (see .claude/skills/verify/SKILL.md): the axon tunnel adds
+~35ms per dispatch and async-dispatch timing lies, so every timed iteration
+ends in a tiny scalar readback that forces completion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/inklayer_tpu_xla"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_CPU.json")
+DATA = "/root/reference/data/bunny_cook_sketch.png"
+
+
+def build_workload():
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from inklayer_tpu.config import GDinoConfig, SamConfig
+    from inklayer_tpu.models.gdino import GroundingDINO
+    from inklayer_tpu.models.gdino.bert import subsentence_masks
+    from inklayer_tpu.models.gdino.gdino import IMAGENET_MEAN, IMAGENET_STD, top_detections
+    from inklayer_tpu.models.sam import Sam
+    from inklayer_tpu.ops.image import resize_scale, scale_pad_normalize
+
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    gcfg = GDinoConfig()
+    scfg = SamConfig()
+    gmodel = GroundingDINO(gcfg, dtype=dtype)
+    smodel = Sam(scfg, dtype=dtype)
+
+    if os.path.exists(DATA):
+        img = np.asarray(Image.open(DATA).convert("RGB"))
+    else:
+        img = (np.random.default_rng(0).random((750, 750, 3)) * 255).astype(np.uint8)
+    h, w = img.shape[:2]
+
+    bucket = (800, 800)
+    ids = np.asarray([[101, 4874, 1012, 102]], np.int32)
+    attn, pos = subsentence_masks(ids)
+    g_args = (jnp.zeros((1,) + bucket + (3,)), jnp.zeros((1,) + bucket, bool),
+              jnp.asarray(ids), jnp.asarray(attn),
+              jnp.asarray(pos.astype(np.int32)))
+
+    def fill(shapes):
+        return jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+
+    gparams = fill(jax.eval_shape(lambda k: gmodel.init(k, *g_args),
+                                  jax.random.key(0)))
+    s_img = jnp.zeros((1, 1024, 1024, 3))
+    s_boxes = jnp.zeros((16, 4))
+    sparams = fill(jax.eval_shape(lambda k: smodel.init(k, s_img, s_boxes),
+                                  jax.random.key(1)))
+
+    device_img = jnp.asarray(img)
+    gscale = resize_scale((h, w), bucket, "shortest")
+    gscale = min(gscale, bucket[0] / h, bucket[1] / w)
+    sscale = resize_scale((h, w), (1024, 1024), "longest")
+    pad_mask = np.ones((1,) + bucket, bool)
+    pad_mask[:, : int(round(h * gscale)), : int(round(w * gscale))] = False
+    pad_mask = jnp.asarray(pad_mask)
+
+    @jax.jit
+    def detect_segment(gp, sp, raw_img):
+        """Full detect+segment for one sketch, fused into ONE dispatch:
+        preprocess -> GDINO -> top-16 boxes -> SAM encode -> decode masks."""
+        gpre = scale_pad_normalize(raw_img, jnp.float32(gscale),
+                                   IMAGENET_MEAN, IMAGENET_STD, bucket)
+        logits, boxes = gmodel.apply(gp, gpre[None], pad_mask, *g_args[2:])
+        scores, top_boxes, _ = top_detections(logits, boxes, 16)
+        # cxcywh normalized -> xyxy in SAM 1024-space
+        b = top_boxes[0]
+        xyxy = jnp.stack([
+            (b[:, 0] - b[:, 2] / 2) * w, (b[:, 1] - b[:, 3] / 2) * h,
+            (b[:, 0] + b[:, 2] / 2) * w, (b[:, 1] + b[:, 3] / 2) * h,
+        ], axis=-1) * sscale
+        spre = scale_pad_normalize(raw_img, jnp.float32(sscale),
+                                   scfg.pixel_mean, scfg.pixel_std, (1024, 1024))
+        emb = smodel.apply(sp, spre[None], method=Sam.encode)
+        mask_logits, iou = smodel.apply(sp, emb, xyxy, method=Sam.decode_boxes)
+        # tiny readback forces real completion through the tunnel
+        return (scores.sum() + mask_logits.astype(jnp.float32).sum()
+                + iou.astype(jnp.float32).sum())
+
+    return detect_segment, gparams, sparams, device_img
+
+
+def measure(iters: int = 10):
+    fn, gp, sp, img = build_workload()
+    t0 = time.perf_counter()
+    float(fn(gp, sp, img))
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(fn(gp, sp, img))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.percentile(times, 50)), compile_s, times
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--calibrate-cpu", action="store_true",
+                    help="measure the CPU-backend reference time and store it")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    if args.calibrate_cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        p50, compile_s, times = measure(max(2, min(args.iters, 3)))
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"cpu_p50_ms": p50, "times_ms": times,
+                       "note": "XLA:CPU detect+segment reference"}, f, indent=2)
+        print(json.dumps({"cpu_p50_ms": p50}))
+        return
+
+    p50, compile_s, times = measure(args.iters)
+    vs = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            vs = round(json.load(f)["cpu_p50_ms"] / p50, 2)
+    out = {
+        "metric": "p50 single-sketch detect+segment latency",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": vs if vs is not None else 0.0,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -140,6 +140,9 @@ def sort_sketch_masks(
     cfg: RefineConfig = RefineConfig(),
 ):
     """Returns (order list, depth_scores, containment graph)."""
+    n = len(masks)
+    if n == 0:
+        return [], np.zeros((0,)), np.zeros((0, 0), bool)
     h, w = sketch_gray.shape
     # sketch_to_01binary: threshold at max/2 (refinement/utils.py:3-9)
     ink = sketch_gray <= sketch_gray.max() / 2

@@ -55,6 +55,8 @@ def parse_masks_to_disjoint(
     cfg: RefineConfig = RefineConfig(),
 ) -> Tuple[List[np.ndarray], List[np.ndarray], List[dict]]:
     """Returns (disjoint_masks, sorted_boxes, mask_info)."""
+    if len(masks) == 0:
+        return [], [], []
     order, _, _ = sort_sketch_masks(masks, boxes, sketch_gray, depth, cfg)
     sorted_masks = masks[order].copy()
     sorted_boxes = [boxes[i] for i in order]

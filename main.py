@@ -12,6 +12,12 @@ import glob
 import os
 import sys
 
+# persistent XLA compilation cache: the big detector/segmentor compiles are
+# paid once, then reused across processes and directory sweeps
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/inklayer_tpu_xla"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 
 def main():
     parser = argparse.ArgumentParser(description="InkLayer-TPU scene-sketch segmentation")

@@ -185,3 +185,14 @@ def test_add_unlabeled_mask():
     g2[64, :] = 0
     out2 = add_unlabeled_mask(masks, g2, CFG)
     assert out2.shape[0] == 0
+
+
+def test_empty_masks_pipeline_stages():
+    g = _sketch_with_rects()
+    empty = np.zeros((0, 128, 128), bool)
+    disjoint, boxes, info = parse_masks_to_disjoint(
+        empty, np.zeros((0, 4)), g, np.ones((128, 128), np.float32), CFG)
+    assert disjoint == [] and boxes == [] and info == []
+    final = improve_masks(empty, np.zeros((0, 4)), g, CFG)
+    # only the unlabeled-extra mask may appear (strokes too thin here -> none)
+    assert final.shape[0] in (0, 1)
