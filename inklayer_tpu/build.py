@@ -89,4 +89,52 @@ def build_pipeline(cfg: PipelineConfig = PipelineConfig(),
         dparams = _placeholder_params(dmodel, *d_args)
     depth_est = DepthEstimator(dparams, cfg.depth, dtype=dtype)
 
-    return InkLayerPipeline(detector, sam_predictor, depth_est, cfg=cfg)
+    inpainter = build_inpainter(cfg, dtype=dtype)
+    return InkLayerPipeline(detector, sam_predictor, depth_est,
+                            inpainter=inpainter, cfg=cfg)
+
+
+def build_inpainter(cfg: PipelineConfig, dtype: jnp.dtype = jnp.float32):
+    """ControlNet-inpaint stage.  Mirrors the reference's lazy global
+    singleton (inpaint_ControlNet.py:14-47): the diffusion models are built
+    on first use."""
+    from inklayer_tpu.pipeline.inpaint.orchestrate import Inpainter
+
+    state = {}
+
+    def make_pipe():
+        from inklayer_tpu.models.diffusion import (
+            AutoencoderKL, CLIPTextEncoder, ControlNet,
+            ControlNetInpaintPipeline, UNet2DCondition)
+        d = cfg.diffusion
+        text = CLIPTextEncoder(hidden=d.cross_attention_dim,
+                               heads=max(1, d.cross_attention_dim // 64),
+                               max_len=d.text_maxlen, dtype=dtype)
+        unet = UNet2DCondition(block_channels=d.unet_block_channels,
+                               context_dim=d.cross_attention_dim, dtype=dtype)
+        cnet = ControlNet(block_channels=d.unet_block_channels,
+                          context_dim=d.cross_attention_dim, dtype=dtype)
+        vae = AutoencoderKL(d.vae_channels, d.latent_channels, dtype=dtype)
+        s8 = d.resolution // 8
+        params = {
+            "text": _placeholder_params(
+                text, jnp.zeros((2, d.text_maxlen), jnp.int32)),
+            "unet": _placeholder_params(
+                unet, jnp.zeros((2, s8, s8, 9)), jnp.zeros((2,), jnp.int32),
+                jnp.zeros((2, d.text_maxlen, d.cross_attention_dim))),
+            "controlnet": _placeholder_params(
+                cnet, jnp.zeros((2, s8, s8, 4)), jnp.zeros((2,), jnp.int32),
+                jnp.zeros((2, d.text_maxlen, d.cross_attention_dim)),
+                jnp.zeros((2, d.resolution, d.resolution, 3))),
+            "vae": _placeholder_params(
+                vae, jnp.zeros((1, d.resolution, d.resolution, 3))),
+        }
+        return ControlNetInpaintPipeline(params, d, dtype=dtype)
+
+    def inpaint_func(image, mask):
+        if "pipe" not in state:
+            state["pipe"] = make_pipe()
+            state["fn"] = state["pipe"].inpaint_fn()
+        return state["fn"](image, mask)
+
+    return Inpainter(inpaint_func)

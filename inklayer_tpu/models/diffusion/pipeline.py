@@ -1,0 +1,208 @@
+"""StableDiffusion ControlNet inpaint pipeline, TPU-native.
+
+Parity target: diffusers StableDiffusionControlNetInpaintPipeline as driven
+by inpaint_ControlNet.py (:126-174): 768^2, 30 DPM-Solver++ steps, cfg 9.0,
+conditioning scale 1.2, seed 3, TWO passes with the control image rebuilt
+from the first pass's output.
+
+TPU-first: the ENTIRE 30-step sampling loop (UNet + ControlNet + CFG +
+DPM-Solver++ update) runs inside one jit via lax.fori_loop with precomputed
+per-step solver coefficient tables — one device dispatch per pass instead of
+~180 (the tunnel costs ~35ms per dispatch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from inklayer_tpu.config import DiffusionConfig
+from inklayer_tpu.models.diffusion.clip_text import CLIPTextEncoder, CLIPTokenizer
+from inklayer_tpu.models.diffusion.controlnet import ControlNet
+from inklayer_tpu.models.diffusion.scheduler import DPMSolverMultistepScheduler
+from inklayer_tpu.models.diffusion.unet import UNet2DCondition
+from inklayer_tpu.models.diffusion.vae import AutoencoderKL
+from inklayer_tpu.pipeline.inpaint.prepost import (
+    finalize_sketch,
+    make_inpaint_condition,
+    postprocess_result,
+    preprocess_image,
+    preprocess_mask,
+)
+
+
+def _solver_tables(sched: DPMSolverMultistepScheduler, steps: int):
+    """Precompute DPM-Solver++(2M) per-step coefficients as arrays."""
+    state = sched.set_timesteps(steps)
+    ts = state.timesteps
+    n = len(ts)
+    a_t = sched.alpha_t[ts]
+    s_t = sched.sigma_t[ts]
+    lam = sched.lambda_t[ts]
+    c_sample = np.empty(n)
+    c_x0 = np.empty(n)
+    c_d = np.empty(n)
+    for i in range(n):
+        t_prev_lam = sched.lambda_t[ts[i + 1]] if i + 1 < n else sched.lambda_t[0]
+        a_prev = sched.alpha_t[ts[i + 1]] if i + 1 < n else sched.alpha_t[0]
+        s_prev = sched.sigma_t[ts[i + 1]] if i + 1 < n else sched.sigma_t[0]
+        h = t_prev_lam - lam[i]
+        c_sample[i] = s_prev / s_t[i]
+        c_x0[i] = -a_prev * np.expm1(-h)
+        if 0 < i < n - 1:  # second order except first and final step
+            h_last = lam[i] - lam[i - 1]
+            r = h_last / h
+            c_d[i] = c_x0[i] * (1.0 / (2.0 * r))
+        else:
+            c_d[i] = 0.0
+    return (ts.astype(np.int32), a_t.astype(np.float32),
+            s_t.astype(np.float32), c_sample.astype(np.float32),
+            c_x0.astype(np.float32), c_d.astype(np.float32))
+
+
+class ControlNetInpaintPipeline:
+    """params: dict with 'unet', 'controlnet', 'vae', 'text' param trees."""
+
+    def __init__(self, params, cfg: DiffusionConfig = DiffusionConfig(),
+                 dtype: jnp.dtype = jnp.float32,
+                 tokenizer: Optional[CLIPTokenizer] = None):
+        self.cfg = cfg
+        self.params = params
+        self.dtype = dtype
+        self.tokenizer = tokenizer or CLIPTokenizer()
+        self.scheduler = DPMSolverMultistepScheduler()
+        self.unet = UNet2DCondition(
+            block_channels=cfg.unet_block_channels,
+            context_dim=cfg.cross_attention_dim, dtype=dtype)
+        self.controlnet = ControlNet(
+            block_channels=cfg.unet_block_channels,
+            context_dim=cfg.cross_attention_dim, dtype=dtype)
+        self.vae = AutoencoderKL(cfg.vae_channels, cfg.latent_channels,
+                                 dtype=dtype)
+        self.text_encoder = CLIPTextEncoder(
+            hidden=cfg.cross_attention_dim,
+            heads=max(1, cfg.cross_attention_dim // 64),
+            max_len=cfg.text_maxlen, dtype=dtype)
+        self._text_cache = {}
+        self._sample_jit = jax.jit(
+            self._sample, static_argnames=("steps", "guidance", "cond_scale"))
+
+    # ------------------------------------------------------------------
+    def _encode_prompt(self, prompt: str, negative: str):
+        key = (prompt, negative)
+        if key not in self._text_cache:
+            ids = np.concatenate([
+                self.tokenizer.encode(negative, self.cfg.text_maxlen),
+                self.tokenizer.encode(prompt, self.cfg.text_maxlen),
+            ])
+            emb = self.text_encoder.apply(self.params["text"], jnp.asarray(ids))
+            self._text_cache[key] = emb  # (2, 77, 768)
+        return self._text_cache[key]
+
+    # ------------------------------------------------------------------
+    def _sample(self, params, text_emb, image01, mask01, control_img, noise,
+                tables, steps: int, guidance: float, cond_scale: float):
+        """Fused sampling: encodes, runs the full solver loop, decodes.
+        image01/mask01/control_img: (H, W, C) float arrays in [0,1] /
+        control in [-1,1]."""
+        ts, a_t, s_t, c_sample, c_x0, c_d = tables
+        img = image01 * 2.0 - 1.0
+        masked = img * (mask01 < 0.5)
+        masked_lat = self.vae.apply(params["vae"], masked[None],
+                                    method=AutoencoderKL.encode)
+        lh, lw = masked_lat.shape[1:3]
+        mask_lat = jax.image.resize(mask01[None, :, :, :1], (1, lh, lw, 1),
+                                    "nearest")
+        latents = noise  # (1, lh, lw, 4)
+        cond = control_img[None]
+
+        def body(i, carry):
+            latents, x0_prev = carry
+            t = ts[i]
+            lat_in = jnp.concatenate([latents, latents], axis=0)
+            t_in = jnp.full((2,), t, jnp.int32)
+            down_res, mid_res = self.controlnet.apply(
+                params["controlnet"], lat_in, t_in,
+                text_emb, jnp.concatenate([cond, cond], axis=0),
+                conditioning_scale=cond_scale)
+            nine = jnp.concatenate([
+                lat_in,
+                jnp.concatenate([mask_lat, mask_lat], axis=0),
+                jnp.concatenate([masked_lat, masked_lat], axis=0),
+            ], axis=-1)
+            eps = self.unet.apply(params["unet"], nine, t_in, text_emb,
+                                  down_residuals=down_res, mid_residual=mid_res)
+            eps_u, eps_c = eps[0:1], eps[1:2]
+            eps = eps_u + guidance * (eps_c - eps_u)
+            eps = eps.astype(jnp.float32)
+            x0 = (latents - s_t[i] * eps) / a_t[i]
+            new = (c_sample[i] * latents + c_x0[i] * x0
+                   + c_d[i] * (x0 - x0_prev))
+            return new, x0
+
+        latents, _ = jax.lax.fori_loop(
+            0, steps, body, (latents, jnp.zeros_like(latents)))
+        out = self.vae.apply(params["vae"], latents, method=AutoencoderKL.decode)
+        return jnp.clip(out[0] * 0.5 + 0.5, 0.0, 1.0)
+
+    # ------------------------------------------------------------------
+    def generate(self, image: Image.Image, mask: Image.Image,
+                 prompt: Optional[str] = None,
+                 negative_prompt: Optional[str] = None,
+                 guidance_scale: Optional[float] = None,
+                 cond_scale: Optional[float] = None,
+                 steps: Optional[int] = None,
+                 seed: Optional[int] = None,
+                 num_passes: Optional[int] = None) -> Image.Image:
+        cfg = self.cfg
+        prompt = prompt if prompt is not None else cfg.prompt
+        negative_prompt = (negative_prompt if negative_prompt is not None
+                           else cfg.negative_prompt)
+        guidance = guidance_scale if guidance_scale is not None else cfg.guidance_scale
+        cscale = cond_scale if cond_scale is not None else cfg.controlnet_scale
+        steps = steps if steps is not None else cfg.num_steps
+        seed = seed if seed is not None else cfg.seed
+        passes = num_passes if num_passes is not None else cfg.num_passes
+        size = cfg.resolution
+
+        text_emb = self._encode_prompt(prompt, negative_prompt)
+        tables = tuple(jnp.asarray(t) for t in
+                       _solver_tables(self.scheduler, steps))
+        img_r = image.resize((size, size), Image.LANCZOS)
+        mask_r = mask.resize((size, size), Image.LANCZOS)
+        mask01 = np.asarray(mask_r.convert("L"), np.float32)[..., None] / 255.0
+        lat = self.cfg.latent_channels
+        noise = jax.random.normal(jax.random.key(seed),
+                                  (1, size // 8, size // 8, lat))
+
+        cur = img_r
+        for p in range(passes):
+            control = make_inpaint_condition(cur, mask_r)
+            img01 = np.asarray(cur.convert("RGB"), np.float32) / 255.0
+            out = self._sample_jit(
+                self.params, text_emb, jnp.asarray(img01), jnp.asarray(mask01),
+                jnp.asarray(control), noise, tables,
+                steps=steps, guidance=float(guidance), cond_scale=float(cscale))
+            arr = (np.asarray(out) * 255).astype(np.uint8)
+            cur = Image.fromarray(arr)
+        return cur
+
+    # ------------------------------------------------------------------
+    def inpaint_fn(self) -> Callable:
+        """Reference-compatible callable for the Inpainter stage: full
+        ControlNet_inpaint behavior (pre/post, resize back, unsharp)."""
+        def fn(input_image: Image.Image, mask_image: Image.Image) -> Image.Image:
+            original, original_mask = input_image.copy(), mask_image.copy()
+            img = preprocess_image(input_image)
+            msk = preprocess_mask(mask_image)
+            out = self.generate(img, msk)
+            out = out.resize(original.size, Image.LANCZOS)
+            out = postprocess_result(out, original, original_mask)
+            return finalize_sketch(out)
+
+        return fn

@@ -1,0 +1,203 @@
+"""SD1.5 conditional UNet (inpaint variant: 9 input channels), TPU-native.
+
+Standard published architecture (runwayml/stable-diffusion-inpainting):
+block channels (320, 640, 1280, 1280); down = 3x CrossAttnDownBlock + 1
+DownBlock, mid = resnet/transformer/resnet, up mirrored with skip concats;
+each transformer = self-attn + cross-attn(text 768) + GEGLU FF; sinusoidal
+timestep embedding -> 2-layer MLP.  Spatial attention (up to 96^2 = 9216
+tokens at 768^2 input) routes through the Pallas flash kernel on TPU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from inklayer_tpu.nn.layers import LayerNorm
+from inklayer_tpu.ops.attention import attention, sdpa
+
+
+def timestep_embedding(t: jax.Array, dim: int) -> jax.Array:
+    """Sinusoidal embedding, diffusers convention (half sin / half cos)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half) / half)
+    args = t[:, None].astype(jnp.float32) * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class TimeEmbedding(nn.Module):
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class ResnetBlockT(nn.Module):
+    out_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), dtype=self.dtype,
+                         name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        te = nn.Dense(self.out_ch, dtype=self.dtype, name="time_emb_proj")(
+            nn.silu(temb))
+        h = h + te[:, None, None, :]
+        h = nn.GroupNorm(num_groups=min(32, self.out_ch), dtype=self.dtype,
+                         name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if x.shape[-1] != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    dim: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        b, n, _ = x.shape
+        m = context.shape[1]
+        hd = self.dim // self.heads
+        q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q = q.reshape(b, n, self.heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, m, self.heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, m, self.heads, hd).transpose(0, 2, 1, 3)
+        out = attention(q, k, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim * 8, dtype=self.dtype, name="proj_in")(x)
+        a, g = jnp.split(h, 2, axis=-1)
+        h = a * nn.gelu(g)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class TransformerBlock2D(nn.Module):
+    channels: int
+    heads: int
+    context_dim: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        res = x
+        y = nn.GroupNorm(num_groups=min(32, c), dtype=self.dtype, name="norm")(x)
+        y = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(y)
+        y = y.reshape(b, h * w, self.channels)
+        # basic transformer block
+        z = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm1")(y)
+        y = y + CrossAttention(self.channels, self.heads, dtype=self.dtype,
+                               name="attn1")(z)
+        z = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm2")(y)
+        y = y + CrossAttention(self.channels, self.heads, dtype=self.dtype,
+                               name="attn2")(z, context)
+        z = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm3")(y)
+        y = y + GEGLUFeedForward(self.channels, dtype=self.dtype, name="ff")(z)
+        y = y.reshape(b, h, w, self.channels)
+        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
+        return res + y
+
+
+class UNet2DCondition(nn.Module):
+    in_channels: int = 9  # inpaint: 4 latent + 1 mask + 4 masked-image latent
+    out_channels: int = 4
+    block_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    attention_head_dim: int = 40  # heads = ch // head_dim... SD1.5 uses 8 heads
+    num_heads: int = 8
+    context_dim: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, sample, timesteps, context,
+                 down_residuals: Optional[Sequence[jax.Array]] = None,
+                 mid_residual: Optional[jax.Array] = None,
+                 return_features: bool = False):
+        """sample: (B, H, W, in_ch) latents; timesteps: (B,); context:
+        (B, 77, context_dim).  down/mid_residual: ControlNet additions."""
+        ch = self.block_channels
+        temb = timestep_embedding(timesteps, ch[0])
+        temb = TimeEmbedding(ch[0] * 4, dtype=self.dtype,
+                             name="time_embedding")(temb.astype(self.dtype))
+
+        x = nn.Conv(ch[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(sample)
+        skips = [x]
+        # ----- down -----
+        for i, c in enumerate(ch):
+            has_attn = i < len(ch) - 1
+            for j in range(self.layers_per_block):
+                x = ResnetBlockT(c, dtype=self.dtype,
+                                 name=f"down_{i}_resnet_{j}")(x, temb)
+                if has_attn:
+                    x = TransformerBlock2D(c, self.num_heads, self.context_dim,
+                                           dtype=self.dtype,
+                                           name=f"down_{i}_attn_{j}")(x, context)
+                skips.append(x)
+            if i < len(ch) - 1:
+                x = nn.Conv(c, (3, 3), strides=(2, 2), padding=1,
+                            dtype=self.dtype, name=f"down_{i}_downsample")(x)
+                skips.append(x)
+        # ----- mid -----
+        x = ResnetBlockT(ch[-1], dtype=self.dtype, name="mid_resnet_0")(x, temb)
+        x = TransformerBlock2D(ch[-1], self.num_heads, self.context_dim,
+                               dtype=self.dtype, name="mid_attn")(x, context)
+        x = ResnetBlockT(ch[-1], dtype=self.dtype, name="mid_resnet_1")(x, temb)
+
+        if return_features:
+            return skips, x
+        if mid_residual is not None:
+            x = x + mid_residual
+        if down_residuals is not None:
+            skips = [s + r for s, r in zip(skips, down_residuals)]
+
+        # ----- up -----
+        for i, c in enumerate(reversed(ch)):
+            has_attn = i > 0
+            for j in range(self.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = ResnetBlockT(c, dtype=self.dtype,
+                                 name=f"up_{i}_resnet_{j}")(x, temb)
+                if has_attn:
+                    x = TransformerBlock2D(c, self.num_heads, self.context_dim,
+                                           dtype=self.dtype,
+                                           name=f"up_{i}_attn_{j}")(x, context)
+            if i < len(ch) - 1:
+                b, hh, ww, cc = x.shape
+                x = jax.image.resize(x, (b, hh * 2, ww * 2, cc), "nearest")
+                x = nn.Conv(cc, (3, 3), padding=1, dtype=self.dtype,
+                            name=f"up_{i}_upsample")(x)
+
+        x = nn.GroupNorm(num_groups=min(32, ch[0]), dtype=self.dtype,
+                         name="conv_norm_out")(x)
+        x = nn.silu(x)
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_out")(x)
