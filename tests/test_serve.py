@@ -1,0 +1,118 @@
+import base64
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from inklayer_tpu.serve.app import InkLayerApp
+
+
+class FakePipeline:
+    """Minimal stand-in writing the output contract the app reads."""
+
+    def __init__(self):
+        self.inpainter = None
+        self.calls = []
+
+    def run(self, input_path, out_base, no_intermediate=False, inpaint=False):
+        self.calls.append(input_path)
+        name = os.path.basename(input_path).split(".")[0]
+        out = os.path.join(out_base, name)
+        os.makedirs(os.path.join(out, "complete_layers_rgba"), exist_ok=True)
+        for i in range(3):
+            Image.fromarray(np.zeros((8, 8, 4), np.uint8)).save(
+                os.path.join(out, "complete_layers_rgba", f"layer_{i}.png"))
+        return out
+
+
+def call(app, method, path, body=b"", content_type="application/json"):
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = status
+        captured["headers"] = dict(headers)
+
+    environ = {
+        "REQUEST_METHOD": method,
+        "PATH_INFO": path,
+        "CONTENT_LENGTH": str(len(body)),
+        "CONTENT_TYPE": content_type,
+        "wsgi.input": io.BytesIO(body),
+    }
+    out = b"".join(app(environ, start_response))
+    return captured["status"], out
+
+
+@pytest.fixture()
+def app(tmp_path):
+    return InkLayerApp(pipeline=FakePipeline(), root_dir=str(tmp_path))
+
+
+def test_index_served(app):
+    status, body = call(app, "GET", "/")
+    assert status == "200 OK"
+    assert b"InkLayer" in body
+
+
+def test_404(app):
+    status, _ = call(app, "GET", "/nope")
+    assert status == "404 Not Found"
+
+
+def test_save_canvas_and_segment(app):
+    img = Image.fromarray(np.full((16, 16, 3), 255, np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    data_url = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+    status, body = call(app, "POST", "/save-canvas-drawing",
+                        json.dumps({"imageData": data_url,
+                                    "filename": "testsketch"}).encode())
+    assert status == "200 OK"
+    assert json.loads(body)["filename"] == "testsketch.png"
+
+    status, body = call(app, "POST", "/segment-sketch",
+                        json.dumps({"imageName": "testsketch"}).encode())
+    assert status == "200 OK"
+    layers = json.loads(body)["layers"]
+    assert len(layers) == 3
+    # reversed ordering: highest index first (app.py:43-52)
+    assert "layer_2" in layers[0] and "layer_0" in layers[-1]
+
+
+def test_segment_missing_image(app):
+    status, body = call(app, "POST", "/segment-sketch",
+                        json.dumps({"imageName": "ghost"}).encode())
+    assert status == "404 Not Found"
+    status, _ = call(app, "POST", "/segment-sketch", b"{}")
+    assert status == "400 Bad Request"
+
+
+def test_upload_multipart(app):
+    img = Image.fromarray(np.full((8, 8, 4), 128, np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    payload = buf.getvalue()
+    boundary = "XBOUND"
+    body = (f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="image"; filename="t.png"\r\n'
+            f"Content-Type: image/png\r\n\r\n").encode() + payload + \
+        f"\r\n--{boundary}--\r\n".encode()
+    status, resp = call(app, "POST", "/upload-image", body,
+                        f"multipart/form-data; boundary={boundary}")
+    assert status == "200 OK"
+    data = json.loads(resp)
+    assert data["filename"] == "t.png"
+    # alpha flattened onto white
+    saved = Image.open(os.path.join(app.upload_dir, "t.png"))
+    assert saved.mode == "RGB"
+
+
+def test_get_images(app):
+    with open(os.path.join(app.upload_dir, "x.png"), "wb") as f:
+        f.write(b"fake")
+    status, body = call(app, "GET", "/get-images")
+    assert status == "200 OK"
+    assert "/static/uploads/x.png" in json.loads(body)["images"]
