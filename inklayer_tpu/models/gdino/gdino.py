@@ -173,6 +173,10 @@ class GDinoDetector:
         boxes = np.asarray(boxes[0], np.float64)
         tok_logits = np.asarray(tok_logits[0])
         keep = scores > thresh
+        token_ids = np.asarray(ids[0])
+        labels = [self.phrase_from_posmap(tok_logits[i], token_ids,
+                                          c.text_threshold)
+                  for i in np.nonzero(keep)[0]]
         # boxes are normalized wrt the VALID region of the bucket canvas:
         # cxcywh in [0,1] of the valid extent — matching the reference's
         # normalized output on the resized image
@@ -180,5 +184,16 @@ class GDinoDetector:
             "boxes": boxes[keep],
             "scores": scores[keep],
             "token_logits": tok_logits[keep],
+            "labels": labels,
             "caption": cap,
         }
+
+    def phrase_from_posmap(self, token_probs: np.ndarray,
+                           token_ids: np.ndarray,
+                           text_threshold: float) -> str:
+        """Decode tokens whose sigmoid logit exceeds text_threshold
+        (GroundingDINO util/utils.py get_phrases_from_posmap :599-610)."""
+        n = len(token_ids)
+        posmap = token_probs[:n] > text_threshold
+        ids = [int(t) for t, p in zip(token_ids, posmap) if p]
+        return self.tokenizer.decode(ids)

@@ -148,10 +148,13 @@ class SamPredictor:
         return full > self.cfg.mask_threshold, iou, np.asarray(logits)
 
     def _postprocess(self, low_res_logits: jax.Array) -> np.ndarray:
-        """(N, 256, 256) logits -> (N, H_orig, W_orig) float logits.
+        """(N, 256, 256) logits -> (N, H_orig, W_orig) float logits (host).
 
         Mirrors modeling/sam.py postprocess_masks: upsample to model size,
         crop the valid region, resize to the original size."""
+        return np.asarray(self._postprocess_device(low_res_logits))
+
+    def _postprocess_device(self, low_res_logits: jax.Array) -> jax.Array:
         c = self.cfg
         n = low_res_logits.shape[0]
         up = jax.image.resize(
@@ -159,8 +162,23 @@ class SamPredictor:
         ih, iw = self._input_hw
         up = up[:, :ih, :iw]
         oh, ow = self._orig_hw
-        out = jax.image.resize(up, (n, oh, ow), method="bilinear")
-        return np.asarray(out)
+        return jax.image.resize(up, (n, oh, ow), method="bilinear")
+
+    def predict_device(self, boxes_xyxy: np.ndarray) -> tuple:
+        """Device-resident predict: returns (masks (N, H, W) bool DEVICE
+        array thresholded at mask_threshold, iou (N,) host).  Avoids the
+        full-resolution float readback of predict()."""
+        assert self._embedding is not None, "call set_image first"
+        n = boxes_xyxy.shape[0]
+        cap = self.box_capacity
+        while cap < n:
+            cap *= 2
+        padded = np.zeros((cap, 4), np.float32)
+        padded[:n] = np.asarray(boxes_xyxy, np.float32) * self._scale
+        logits, iou = self._decode(self.params, self._embedding,
+                                   jnp.asarray(padded))
+        full = self._postprocess_device(logits[:n, 0])
+        return full > self.cfg.mask_threshold, np.asarray(iou[:n, 0])
 
     def predict(self, boxes: Optional[np.ndarray] = None,
                 multimask_output: bool = False):

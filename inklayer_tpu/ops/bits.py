@@ -1,0 +1,61 @@
+"""Bit-packing for host<->device boolean mask transfers.
+
+The axon tunnel moves ~1.4MB/s; a (30, 750, 750) bool mask stack is 17MB
+(12s).  Packing bits on device before readback (and on host before upload)
+cuts transfers 8x; masks are the only bulk payload crossing the boundary in
+the steady-state pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def pack_bits(masks: jax.Array) -> jax.Array:
+    """(..., W) bool -> (..., ceil(W/8)) uint8, bit order matching
+    np.packbits (MSB first)."""
+    w = masks.shape[-1]
+    pad = (8 - w % 8) % 8
+    if pad:
+        widths = [(0, 0)] * (masks.ndim - 1) + [(0, pad)]
+        masks = jnp.pad(masks, widths)
+    shaped = masks.reshape(*masks.shape[:-1], -1, 8).astype(jnp.uint8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return (shaped * weights).sum(axis=-1).astype(jnp.uint8)
+
+
+def unpack_bits_host(packed: np.ndarray, width: int) -> np.ndarray:
+    """(..., ceil(W/8)) uint8 host array -> (..., W) bool."""
+    bits = np.unpackbits(packed, axis=-1)
+    return bits[..., :width].astype(bool)
+
+
+def masks_to_host(masks_dev: jax.Array) -> np.ndarray:
+    """Device (..., H, W) bool -> host bool via packed transfer."""
+    if masks_dev.size == 0:
+        return np.zeros(masks_dev.shape, bool)
+    w = masks_dev.shape[-1]
+    packed = np.asarray(pack_bits(masks_dev))
+    return unpack_bits_host(packed, w)
+
+
+def masks_to_device(masks_np: np.ndarray) -> jax.Array:
+    """Host bool -> device bool via packed upload."""
+    if masks_np.size == 0:
+        return jnp.zeros(masks_np.shape, bool)
+    w = masks_np.shape[-1]
+    packed = jnp.asarray(np.packbits(masks_np, axis=-1))
+    return _unpack_device(packed, width=w)
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def _unpack_device(packed: jax.Array, width: int) -> jax.Array:
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    bits = (packed[..., None] & weights) > 0
+    bits = bits.reshape(*packed.shape[:-1], -1)
+    return bits[..., :width]

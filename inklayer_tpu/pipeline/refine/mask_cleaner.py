@@ -48,10 +48,15 @@ def clean_masks(
     return jax.vmap(clean_one)(closed)
 
 
-def run_clean_masks(masks: np.ndarray, cfg: RefineConfig = RefineConfig()) -> np.ndarray:
-    """masks: (N, H, W) uint8/bool host array -> (N, H, W) bool."""
+def run_clean_masks(masks, cfg: RefineConfig = RefineConfig()) -> np.ndarray:
+    """masks: (N, H, W) uint8/bool host array -> (N, H, W) bool host array."""
+    return np.asarray(clean_masks_device(masks, cfg))
+
+
+def clean_masks_device(masks, cfg: RefineConfig = RefineConfig()) -> jnp.ndarray:
+    """Device-resident variant: accepts/returns device arrays (no transfer)."""
+    masks = jnp.asarray(masks)
     if masks.shape[0] == 0:
         return masks.astype(bool)
     k = kernel_size(masks.shape[1:], cfg.clean_kernel_frac)
-    out = clean_masks(jnp.asarray(masks), k, cfg.min_cc_area, cfg.min_cc_aspect)
-    return np.asarray(out)
+    return clean_masks(masks, k, cfg.min_cc_area, cfg.min_cc_aspect)

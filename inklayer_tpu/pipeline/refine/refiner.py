@@ -1,18 +1,22 @@
-"""Disjoint-layer compositing and mask completion.
+"""Disjoint-layer compositing and mask completion — device-resident.
 
 Parity target: refinement/refiner.py —
   * parse_masks_to_disjoint_masks (:90-126): depth-sort, drop masks covering
     >90% of the ink, composite back-to-front into a label map, re-parse,
-    merge fragments <5% of their original area into the max-overlap earlier
-    mask, remove isolated pixels;
+    drop fragments <5% of their original area that overlap an earlier mask,
+    remove isolated pixels;
   * refine_masks_with_watershed (:129-196): expand masks over unlabeled ink
     using a distance+gradient elevation (here: cost-ordered label flood);
   * refine_masks_with_boxes (:228-297): assign remaining unlabeled ink to the
-    nearest mask among those whose bbox contains the pixel (here: chamfer
-    distance fields on a downsampled grid — per-pixel Python loops with
-    exact euclidean distances become array lookups within tolerance);
+    nearest mask among those whose bbox contains the pixel (reference:
+    per-pixel Python loops with exact euclidean distances; here: chamfer
+    fields on a downsampled grid, fully on device);
   * create_unlabeled_mask (:301-336): leftover ink -> MORPH_OPEN + dilate ->
     one extra mask.
+
+Masks stay on device end to end; host readbacks are O(N) scalars/matrices
+(the axon tunnel moves ~1.4MB/s — full-resolution mask transfers are the
+single biggest latency cost, see ops/bits.py).
 """
 
 from __future__ import annotations
@@ -47,53 +51,87 @@ def clean_delicate(mask: jax.Array) -> jax.Array:
     return mask & (neighbor_count(mask, 3) > 1.0)
 
 
+@jax.jit
+def _disjoint_stats(masks: jax.Array, ink: jax.Array):
+    """One fused device call for all the small statistics the host logic
+    needs: per-mask ink coverage, pairwise overlap existence, per-mask area,
+    per-composite-label area."""
+    n = masks.shape[0]
+    ink_cover = (masks & ink[None]).sum(axis=(1, 2))
+    areas = masks.sum(axis=(1, 2))
+    flat = masks.reshape(n, -1).astype(jnp.float32)
+    overlap = (flat @ flat.T) > 0
+    return ink_cover, areas, overlap
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _composite_label_areas(composite: jax.Array, n: int):
+    counts = jnp.zeros((n + 1,), jnp.int32)
+    flat = composite.reshape(-1)
+    return counts.at[flat].add(1)
+
+
 def parse_masks_to_disjoint(
-    masks: np.ndarray,  # (N, H, W) bool, cleaned SAM masks
+    masks,  # (N, H, W) bool, cleaned SAM masks (device or host)
     boxes: np.ndarray,  # (N, 4) px
     sketch_gray: np.ndarray,
     depth: np.ndarray,
     cfg: RefineConfig = RefineConfig(),
-) -> Tuple[List[np.ndarray], List[np.ndarray], List[dict]]:
-    """Returns (disjoint_masks, sorted_boxes, mask_info)."""
-    if len(masks) == 0:
-        return [], [], []
+) -> Tuple[jax.Array, List[np.ndarray], List[dict]]:
+    """Returns (disjoint_masks (M, H, W) bool DEVICE array, sorted_boxes,
+    mask_info)."""
+    masks = jnp.asarray(masks)
+    h, w = sketch_gray.shape
+    if masks.shape[0] == 0:
+        return jnp.zeros((0, h, w), bool), [], []
     order, _, _ = sort_sketch_masks(masks, boxes, sketch_gray, depth, cfg)
-    sorted_masks = masks[order].copy()
-    sorted_boxes = [boxes[i] for i in order]
+    order_idx = jnp.asarray(np.asarray(order, np.int32))
+    sorted_masks = masks[order_idx]
+    sorted_boxes = [np.asarray(boxes)[i] for i in order]
 
-    # drop masks covering >90% of the ink (refiner :99-110)
-    ink = sketch_gray < cfg.ink_threshold
-    sketch_area = ink.sum()
-    num = len(sorted_masks)
-    for i in range(len(sorted_masks)):
-        if num > 1 and np.logical_and(sorted_masks[i], ink).sum() \
-                > cfg.max_ink_cover_frac * sketch_area:
-            sorted_masks[i] = False
-            num -= 1
+    ink = jnp.asarray(sketch_gray < cfg.ink_threshold)
+    ink_cover, areas, overlap = _disjoint_stats(sorted_masks, ink)
+    ink_cover = np.asarray(ink_cover)
+    areas = np.asarray(areas)
+    overlap_np = np.asarray(overlap)
+    sketch_area = int(np.asarray(ink.sum()))
 
-    composite = np.asarray(composite_masks(jnp.asarray(sorted_masks)))
-    original_areas = sorted_masks.sum(axis=(1, 2))
+    # drop masks covering >90% of the ink, sequentially (refiner :99-110)
+    n = sorted_masks.shape[0]
+    keep_cover = np.ones(n, bool)
+    remaining = n
+    for i in range(n):
+        if remaining > 1 and ink_cover[i] > cfg.max_ink_cover_frac * sketch_area:
+            keep_cover[i] = False
+            remaining -= 1
+    if not keep_cover.all():
+        sorted_masks = sorted_masks * jnp.asarray(keep_cover)[:, None, None]
+        areas = np.where(keep_cover, areas, 0)
 
-    final_masks: List[np.ndarray] = []
-    final_info: List[dict] = []
-    labels_present = np.unique(composite)[1:]  # skip 0
-    for label in labels_present:
-        parsed = composite == label
-        oi = int(label) - 1
-        if parsed.sum() < cfg.fragment_merge_frac * max(original_areas[oi], 1):
+    composite = composite_masks(sorted_masks)
+    label_areas = np.asarray(_composite_label_areas(composite, n))
+
+    keep_labels = []
+    final_info = []
+    for oi in range(n):
+        parsed_area = label_areas[oi + 1]
+        if parsed_area == 0:
+            continue
+        if parsed_area < cfg.fragment_merge_frac * max(areas[oi], 1):
             # reference "merges" the fragment into the earlier max-overlap
-            # mask, but appends upfront-parsed masks — the net output effect
-            # is that the fragment is dropped when such a mask exists
+            # mask but appends upfront-parsed masks — the net output effect
+            # is the fragment is dropped when such a mask exists
             # (composite_and_parse_masks :59-87)
-            has_earlier_overlap = any(
-                np.logical_and(sorted_masks[oi], sorted_masks[j]).any()
-                for j in range(oi))
-            if has_earlier_overlap:
+            if any(overlap_np[oi, j] and keep_cover[j] for j in range(oi)):
                 continue
-        final_masks.append(parsed)
+        keep_labels.append(oi + 1)
         final_info.append({"bbox": sorted_boxes[oi],
                            "original_indices": [order[oi]]})
-    cleaned = [np.asarray(clean_delicate(jnp.asarray(m))) for m in final_masks]
+    if not keep_labels:
+        return jnp.zeros((0, h, w), bool), sorted_boxes, []
+    labels_arr = jnp.asarray(np.asarray(keep_labels, np.int32))
+    parsed = labels_arr[:, None, None] == composite[None]
+    cleaned = jax.vmap(clean_delicate)(parsed)
     return cleaned, sorted_boxes, final_info
 
 
@@ -113,24 +151,18 @@ def watershed_expand(
     n = masks.shape[0]
     combined = masks.any(axis=0)
     unlabeled = ink & ~combined
-    # large connected unlabeled regions (>50 px after closing with disk(3))
     closed = M.morph_close(unlabeled, M.disk_kernel(3))
     large = large_component_mask(closed, 50) & unlabeled
 
-    # markers: mask index + 1; dilated pixels claim unlabeled ink
     idx = jnp.arange(1, n + 1, dtype=jnp.int32)[:, None, None]
-    # dilation size 3 near large regions else 2 (refiner :163-169)
     dil3 = M.binary_dilate(masks, M.disk_kernel(3))
     near_large = (dil3 & large[None]).any(axis=(1, 2))
     dil2 = M.binary_dilate(masks, M.disk_kernel(2))
     dil = jnp.where(near_large[:, None, None], dil3, dil2)
     claim = dil & unlabeled[None]
-    # first mask wins where claims overlap (reference: later overwrite, but
-    # masks are disjoint and claims rarely collide; first-wins is symmetric)
     marker_map = jnp.max(jnp.where(masks | claim, idx, 0), axis=0)
 
-    # elevation: -distance (x3 in large regions) + gradient, as entry cost.
-    dist = chamfer_distance(~unlabeled, iters=64)  # distance INTO unlabeled
+    dist = chamfer_distance(~unlabeled, iters=64)
     dist = jnp.where(large, dist * 3.0, dist)
     g = ink.astype(jnp.float32)
     gx = jnp.abs(jnp.roll(g, 1, 1) - jnp.roll(g, -1, 1))
@@ -138,117 +170,126 @@ def watershed_expand(
     grad = jnp.sqrt(gx * gx + gy * gy)
     grad = jnp.where(large, grad * 0.01, grad * 0.1)
     cost = -dist + grad
-    cost = cost - cost.min()  # label_flood expects non-negative entry costs
+    cost = cost - cost.min()
     labels = label_flood(marker_map, cost, ink, iters=iters)
     return jnp.arange(1, n + 1, dtype=jnp.int32)[:, None, None] == labels[None]
 
 
-def match_masks_to_boxes(masks: np.ndarray, boxes: np.ndarray) -> dict:
-    """Greedy IoU matching of mask bboxes to input boxes (refiner :199-225)."""
-    from inklayer_tpu.pipeline.refine.nms import bbox_iou_matrix
-
-    mask_boxes = []
-    for m in masks:
-        ys, xs = np.nonzero(m)
-        if len(ys) == 0:
-            mask_boxes.append(None)
-        else:
-            mask_boxes.append([xs.min(), ys.min(), xs.max(), ys.max()])
-    valid = [i for i, b in enumerate(mask_boxes) if b is not None]
-    if not valid or len(boxes) == 0:
-        return {}
-    mb = np.asarray([mask_boxes[i] for i in valid], float)
-    bb = np.asarray(boxes, float)
-    x1 = np.maximum(bb[:, None, 0], mb[None, :, 0])
-    y1 = np.maximum(bb[:, None, 1], mb[None, :, 1])
-    x2 = np.minimum(bb[:, None, 2], mb[None, :, 2])
-    y2 = np.minimum(bb[:, None, 3], mb[None, :, 3])
-    inter = np.where((x2 >= x1) & (y2 >= y1), (x2 - x1) * (y2 - y1), 0.0)
+@jax.jit
+def _mask_bboxes_and_iou(masks: jax.Array, boxes: jax.Array):
+    """Mask bounding boxes + IoU matrix vs input boxes, on device."""
+    n, h, w = masks.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (n, h, w), 2)
+    big = jnp.int32(1 << 30)
+    x1 = jnp.min(jnp.where(masks, xs, big), axis=(1, 2))
+    y1 = jnp.min(jnp.where(masks, ys, big), axis=(1, 2))
+    x2 = jnp.max(jnp.where(masks, xs, -1), axis=(1, 2))
+    y2 = jnp.max(jnp.where(masks, ys, -1), axis=(1, 2))
+    valid = masks.any(axis=(1, 2))
+    mb = jnp.stack([x1, y1, x2, y2], -1).astype(jnp.float32)
+    bb = boxes.astype(jnp.float32)
+    ix1 = jnp.maximum(bb[:, None, 0], mb[None, :, 0])
+    iy1 = jnp.maximum(bb[:, None, 1], mb[None, :, 1])
+    ix2 = jnp.minimum(bb[:, None, 2], mb[None, :, 2])
+    iy2 = jnp.minimum(bb[:, None, 3], mb[None, :, 3])
+    inter = jnp.where((ix2 >= ix1) & (iy2 >= iy1),
+                      (ix2 - ix1) * (iy2 - iy1), 0.0)
     a1 = (bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1])
     a2 = (mb[:, 2] - mb[:, 0]) * (mb[:, 3] - mb[:, 1])
     union = a1[:, None] + a2[None, :] - inter
-    iou = np.where(union > 0, inter / union, 0.0)
+    iou = jnp.where(union > 0, inter / union, 0.0)
+    return jnp.where(valid[None, :], iou, 0.0)
+
+
+def match_masks_to_boxes_iou(iou: np.ndarray) -> dict:
+    """Greedy IoU matching (refiner :199-225), host-side on the tiny matrix."""
     box_to_mask = {}
+    iou = iou.copy()
     while iou.size and iou.max() > 0:
         bi, mi = np.unravel_index(np.argmax(iou), iou.shape)
-        box_to_mask[int(bi)] = valid[int(mi)]
+        box_to_mask[int(bi)] = int(mi)
         iou[bi, :] = 0
         iou[:, mi] = 0
     return box_to_mask
 
 
-def refine_with_boxes(
-    masks: np.ndarray,  # (N, H, W) bool
-    boxes: np.ndarray,  # (M, 4) px
-    sketch_gray: np.ndarray,
-    cfg: RefineConfig = RefineConfig(),
-    downsample: int = 4,
-) -> np.ndarray:
-    """Assign unlabeled ink to the nearest mask among containing boxes
-    (refine_masks_with_boxes).  Distances via chamfer fields on a
-    `downsample`x grid."""
-    ink = sketch_gray <= cfg.ink_threshold  # ~(img > 250)
+@functools.partial(jax.jit, static_argnames=("downsample", "iters"))
+def _bbox_assign(masks: jax.Array, boxes: jax.Array, mask_of_box: jax.Array,
+                 ink: jax.Array, downsample: int = 4, iters: int = 96):
+    """Assign unlabeled ink pixels to the nearest matched mask among the
+    boxes containing them (refine_masks_with_boxes), fully on device.
+
+    mask_of_box: (M,) int32, index of the mask matched to each box (-1 if
+    unmatched)."""
+    n, h, w = masks.shape
+    m = boxes.shape[0]
     combined = masks.any(axis=0)
     unlabeled = ink & ~combined
-    if not unlabeled.any() or len(boxes) == 0:
+
+    small = masks[:, ::downsample, ::downsample]
+    dists = masked_nearest_distance(small, iters=iters)  # (N, h/d, w/d)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    dist_full = dists[:, ys // downsample, xs // downsample]  # (N, H, W)
+
+    bb = boxes.astype(jnp.float32)
+    inside = ((bb[:, None, None, 0] <= xs[None]) & (xs[None] <= bb[:, None, None, 2])
+              & (bb[:, None, None, 1] <= ys[None]) & (ys[None] <= bb[:, None, None, 3]))
+    matched = mask_of_box >= 0
+    safe_idx = jnp.maximum(mask_of_box, 0)
+    box_dist = dist_full[safe_idx]  # (M, H, W)
+    box_dist = jnp.where(inside & matched[:, None, None], box_dist, jnp.inf)
+    best_box = jnp.argmin(box_dist, axis=0)  # (H, W)
+    has = jnp.isfinite(jnp.min(box_dist, axis=0)) & unlabeled
+    assign_mask_idx = safe_idx[best_box]  # (H, W)
+    add = (jnp.arange(n)[:, None, None] == assign_mask_idx[None]) & has[None]
+    return masks | add
+
+
+def refine_with_boxes(masks, boxes, sketch_gray: np.ndarray,
+                      cfg: RefineConfig = RefineConfig(),
+                      downsample: int = 4):
+    """Device orchestration of refine_masks_with_boxes."""
+    masks = jnp.asarray(masks)
+    if masks.shape[0] == 0 or len(boxes) == 0:
         return masks
-    box_to_mask = match_masks_to_boxes(masks, boxes)
+    ink = jnp.asarray(sketch_gray <= cfg.ink_threshold)
+    iou = np.asarray(_mask_bboxes_and_iou(masks, jnp.asarray(
+        np.asarray(boxes, np.float32))))
+    box_to_mask = match_masks_to_boxes_iou(iou)
     if not box_to_mask:
         return masks
-
-    h, w = sketch_gray.shape
-    ys, xs = np.nonzero(unlabeled)
-    # containment of each unlabeled pixel in each box: (P, M)
-    bb = np.asarray(boxes, float)
-    inside = ((bb[None, :, 0] <= xs[:, None]) & (xs[:, None] <= bb[None, :, 2])
-              & (bb[None, :, 1] <= ys[:, None]) & (ys[:, None] <= bb[None, :, 3]))
-    # distance fields for matched masks on the downsampled grid
-    matched = sorted(set(box_to_mask.values()))
-    small = jnp.asarray(masks[matched][:, ::downsample, ::downsample])
-    dists = np.asarray(masked_nearest_distance(small, iters=96)) * downsample
-    mask_pos = {m: k for k, m in enumerate(matched)}
-
-    out = masks.copy()
-    dcol = np.full((len(ys), len(boxes)), np.inf)
-    for bi, mi in box_to_mask.items():
-        dcol[:, bi] = dists[mask_pos[mi], ys // downsample, xs // downsample]
-    dcol = np.where(inside, dcol, np.inf)
-    best_box = np.argmin(dcol, axis=1)
-    has_choice = np.isfinite(dcol[np.arange(len(ys)), best_box])
-    for p in np.nonzero(has_choice)[0]:
-        mi = box_to_mask.get(int(best_box[p]))
-        if mi is not None:
-            out[mi, ys[p], xs[p]] = True
-    return out
+    mask_of_box = np.full(len(boxes), -1, np.int32)
+    for b, mi in box_to_mask.items():
+        mask_of_box[b] = mi
+    return _bbox_assign(masks, jnp.asarray(np.asarray(boxes, np.float32)),
+                        jnp.asarray(mask_of_box), ink, downsample=downsample)
 
 
-def add_unlabeled_mask(masks: np.ndarray, sketch_gray: np.ndarray,
-                       cfg: RefineConfig = RefineConfig()) -> np.ndarray:
-    """Leftover ink -> MORPH_OPEN(3) -> dilate(2x2) -> extra mask
-    (create_unlabeled_mask :301-336)."""
-    ink = sketch_gray < cfg.ink_threshold
-    combined = masks.any(axis=0) if len(masks) else np.zeros_like(ink)
-    unlabeled = jnp.asarray(ink & ~combined)
+def add_unlabeled_mask(masks, sketch_gray: np.ndarray,
+                       cfg: RefineConfig = RefineConfig()):
+    """Leftover ink -> MORPH_OPEN(3) -> dilate -> extra mask
+    (create_unlabeled_mask :301-336).  Returns a device array."""
+    masks = jnp.asarray(masks)
+    ink = jnp.asarray(sketch_gray < cfg.ink_threshold)
+    combined = masks.any(axis=0) if masks.shape[0] else jnp.zeros_like(ink)
+    unlabeled = ink & ~combined
     opened = M.morph_open(unlabeled, M.rect_kernel(3))
-    # cv2.dilate with a 2x2 kernel is anchor-centered at (0,0) offset
-    dilated = np.asarray(M.binary_dilate(opened, M.rect_kernel(3)))
-    if dilated.sum() == 0:
+    dilated = M.binary_dilate(opened, M.rect_kernel(3))
+    if int(np.asarray(dilated.sum())) == 0:
         return masks
-    return np.concatenate([masks, dilated[None]], axis=0)
+    return jnp.concatenate([masks, dilated[None]], axis=0)
 
 
-def improve_masks(
-    masks: np.ndarray,  # (N, H, W) disjoint ordered masks
-    boxes: np.ndarray,
-    sketch_gray: np.ndarray,
-    cfg: RefineConfig = RefineConfig(),
-) -> np.ndarray:
+def improve_masks(masks, boxes, sketch_gray: np.ndarray,
+                  cfg: RefineConfig = RefineConfig()):
     """watershed expand -> bbox assignment -> unlabeled extra mask
-    (improve_sam_masks :339-370)."""
-    if len(masks) == 0:
+    (improve_sam_masks :339-370).  Device in/out."""
+    masks = jnp.asarray(masks)
+    if masks.shape[0] == 0:
         return add_unlabeled_mask(masks, sketch_gray, cfg)
     ink = jnp.asarray(~(sketch_gray > cfg.ink_threshold))
-    ws = np.asarray(watershed_expand(jnp.asarray(masks), ink,
-                                     iters=cfg.watershed_iters))
+    ws = watershed_expand(masks, ink, iters=cfg.watershed_iters)
     bboxed = refine_with_boxes(ws, boxes, sketch_gray, cfg)
     return add_unlabeled_mask(bboxed, sketch_gray, cfg)

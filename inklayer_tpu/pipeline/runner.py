@@ -84,30 +84,39 @@ class InkLayerPipeline:
 
         io_out.save_norm_bboxes(boxes_abs, scores, image_pil.size,
                                 os.path.join(out_dir, "bboxes.json"))
-        io_out.draw_boxes_image(image_pil, xyxy_norm.tolist(), scores).save(
+        io_out.draw_boxes_image(image_pil, xyxy_norm.tolist(), scores,
+                                labels=det.get("labels")).save(
             os.path.join(out_dir, "bboxes.png"))
 
-        # ---- segmentation ----------------------------------------------
+        # ---- segmentation (masks stay on device) -------------------------
+        import jax.numpy as jnp
+
+        from inklayer_tpu.ops.bits import masks_to_host
+
         t0 = time.perf_counter()
         if len(boxes_abs):
             self.sam.set_image(image)
-            masks, _iou, _ = self.sam.predict(boxes_abs)
+            masks_dev, _iou = self.sam.predict_device(boxes_abs)
         else:
-            masks = np.zeros((0, h, w), bool)
+            masks_dev = jnp.zeros((0, h, w), bool)
         self.stage_times.add("segment", time.perf_counter() - t0)
+        masks = masks_to_host(masks_dev)  # packed transfer, PNG contract only
         io_out.save_masks_dir(masks, os.path.join(out_dir, "masks"))
         seg = color_sketch_by_masks(image, list(masks))
         Image.fromarray(seg).save(os.path.join(out_dir, "segmented_sketch.png"))
 
-        # ---- mask cleaning ----------------------------------------------
+        # ---- mask cleaning (device) --------------------------------------
+        from inklayer_tpu.pipeline.refine.mask_cleaner import clean_masks_device
+
         t0 = time.perf_counter()
-        cleaned = run_clean_masks(masks.astype(np.uint8) * 255, cfg.refine)
+        cleaned_dev = clean_masks_device(masks_dev, cfg.refine)
         self.stage_times.add("clean", time.perf_counter() - t0)
+        cleaned = masks_to_host(cleaned_dev)
         io_out.save_masks_dir(cleaned, os.path.join(out_dir, "masks_cleaned"))
 
-        # ---- sketch NMS --------------------------------------------------
+        # ---- sketch NMS (IoU matrix on device) ---------------------------
         t0 = time.perf_counter()
-        kept = sketch_nms(boxes_abs, scores, cleaned, gray, cfg.refine)
+        kept = sketch_nms(boxes_abs, scores, cleaned_dev, gray, cfg.refine)
         self.stage_times.add("nms", time.perf_counter() - t0)
         final_norm = [xyxy_norm[i].tolist() for i in kept]
         final_data = {
@@ -129,22 +138,26 @@ class InkLayerPipeline:
         self.stage_times.add("depth", time.perf_counter() - t0)
 
         t0 = time.perf_counter()
-        kept_masks = cleaned[kept] if len(kept) else np.zeros((0, h, w), bool)
-        kept_boxes = np.asarray(
-            [[int(xyxy_norm[i][0] * w), int(xyxy_norm[i][1] * h),
-              int(xyxy_norm[i][2] * w), int(xyxy_norm[i][3] * h)]
-             for i in kept], float) if len(kept) else np.zeros((0, 4))
-        disjoint, sorted_boxes, _info = parse_masks_to_disjoint(
+        if len(kept):
+            kept_masks = cleaned_dev[np.asarray(kept)]
+            kept_boxes = np.asarray(
+                [[int(xyxy_norm[i][0] * w), int(xyxy_norm[i][1] * h),
+                  int(xyxy_norm[i][2] * w), int(xyxy_norm[i][3] * h)]
+                 for i in kept], float)
+        else:
+            kept_masks = jnp.zeros((0, h, w), bool)
+            kept_boxes = np.zeros((0, 4))
+        disjoint_dev, sorted_boxes, _info = parse_masks_to_disjoint(
             kept_masks, kept_boxes, gray, depth, cfg.refine)
-        io_out.save_masks_dir(
-            np.stack(disjoint) if disjoint else np.zeros((0, h, w), bool),
-            os.path.join(out_dir, "masks_disjoint"))
-        final_masks = improve_masks(
-            np.stack(disjoint) if disjoint else np.zeros((0, h, w), bool),
-            np.asarray(sorted_boxes) if sorted_boxes else np.zeros((0, 4)),
+        final_dev = improve_masks(
+            disjoint_dev,
+            np.asarray(sorted_boxes) if len(sorted_boxes) else np.zeros((0, 4)),
             gray, cfg.refine)
         self.stage_times.add("refine", time.perf_counter() - t0)
 
+        io_out.save_masks_dir(masks_to_host(disjoint_dev),
+                              os.path.join(out_dir, "masks_disjoint"))
+        final_masks = masks_to_host(final_dev)
         io_out.save_masks_dir(final_masks, os.path.join(out_dir, "masks_final"))
         io_out.save_depth_map(depth, os.path.join(out_dir, "depth_map.png"))
         final_seg = color_sketch_by_masks(image, list(final_masks))

@@ -192,7 +192,20 @@ def test_empty_masks_pipeline_stages():
     empty = np.zeros((0, 128, 128), bool)
     disjoint, boxes, info = parse_masks_to_disjoint(
         empty, np.zeros((0, 4)), g, np.ones((128, 128), np.float32), CFG)
-    assert disjoint == [] and boxes == [] and info == []
+    assert disjoint.shape[0] == 0 and boxes == [] and info == []
     final = improve_masks(empty, np.zeros((0, 4)), g, CFG)
     # only the unlabeled-extra mask may appear (strokes too thin here -> none)
     assert final.shape[0] in (0, 1)
+
+
+def test_pack_bits_roundtrip(rng):
+    import jax.numpy as jnp
+    from inklayer_tpu.ops.bits import masks_to_device, masks_to_host, pack_bits
+
+    m = rng.random((3, 21, 37)) > 0.5
+    back = masks_to_host(jnp.asarray(m))
+    np.testing.assert_array_equal(back, m)
+    dev = masks_to_device(m)
+    np.testing.assert_array_equal(np.asarray(dev), m)
+    empty = masks_to_host(jnp.zeros((0, 16, 16), bool))
+    assert empty.shape == (0, 16, 16)
