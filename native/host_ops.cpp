@@ -1,0 +1,177 @@
+// inklayer-tpu native host ops.
+//
+// Exact CPU implementations of the classical algorithms that the TPU path
+// approximates with bounded-iteration relaxations (ops/distance.py,
+// ops/components.py):
+//   * exact euclidean distance transform (Felzenszwalb-Huttenlocher)
+//   * priority-flood watershed with compactness (skimage-equivalent; skimage
+//     is absent from this environment)
+//   * connected components (BFS, 4/8-connectivity)
+//
+// Used as (a) the host oracle in the test suite for the device ops and
+// (b) a fast exact CPU fallback for host-only deployments.  Exposed via a
+// plain C ABI for ctypes (no pybind11 in this environment).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <queue>
+#include <vector>
+
+namespace {
+
+constexpr float kInf = std::numeric_limits<float>::infinity();
+// large finite sentinel for "no seed": using true infinity breaks the
+// lower-envelope intersection arithmetic (inf - inf).  Distances derived
+// from sentinel parabolas only survive when the image has no seed at all.
+constexpr double kBig = 1e12;
+
+// 1-D squared distance transform (lower envelope of parabolas),
+// Felzenszwalb-Huttenlocher.  Double precision internally: f values reach
+// kBig and intersections must stay ordered.
+void dt1d(const double* f, double* d, int n, std::vector<int>& v,
+          std::vector<double>& z) {
+  v.assign(n, 0);
+  z.assign(n + 1, 0.0);
+  int k = 0;
+  v[0] = 0;
+  z[0] = -kInf;
+  z[1] = kInf;
+  for (int q = 1; q < n; ++q) {
+    double s;
+    while (true) {
+      s = ((f[q] + (double)q * q) - (f[v[k]] + (double)v[k] * v[k])) /
+          (2.0 * q - 2.0 * v[k]);
+      if (k > 0 && s <= z[k]) {
+        --k;
+      } else {
+        break;
+      }
+    }
+    ++k;
+    v[k] = q;
+    z[k] = s;
+    z[k + 1] = kInf;
+  }
+  k = 0;
+  for (int q = 0; q < n; ++q) {
+    while (z[k + 1] < q) ++k;
+    double dq = q - (double)v[k];
+    d[q] = dq * dq + f[v[k]];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Exact EDT: dist[i] = euclidean distance to the nearest seed pixel.
+// seeds: h*w uint8 (nonzero = seed). out: h*w float32.
+void exact_edt(const uint8_t* seeds, float* out, int h, int w) {
+  std::vector<double> g(static_cast<size_t>(h) * w);
+  // column pass
+  std::vector<double> f(std::max(h, w));
+  std::vector<double> d(std::max(h, w));
+  std::vector<int> v;
+  std::vector<double> z;
+  for (int x = 0; x < w; ++x) {
+    for (int y = 0; y < h; ++y) f[y] = seeds[y * w + x] ? 0.0 : kBig;
+    dt1d(f.data(), d.data(), h, v, z);
+    for (int y = 0; y < h; ++y) g[y * static_cast<size_t>(w) + x] = d[y];
+  }
+  // row pass
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) f[x] = g[y * static_cast<size_t>(w) + x];
+    dt1d(f.data(), d.data(), w, v, z);
+    for (int x = 0; x < w; ++x)
+      out[y * static_cast<size_t>(w) + x] = (float)std::sqrt(d[x]);
+  }
+}
+
+// Priority-flood watershed.  labels: h*w int32, >0 = markers (modified in
+// place), 0 = unlabeled; elevation: h*w float32; region: h*w uint8 (flood
+// only where nonzero); compactness >= 0 adds c * dist(seed)^2 to priority.
+void watershed(int32_t* labels, const float* elevation, const uint8_t* region,
+               int h, int w, double compactness) {
+  struct Node {
+    float priority;
+    uint64_t order;
+    int idx;
+    int seed;
+    bool operator>(const Node& o) const {
+      if (priority != o.priority) return priority > o.priority;
+      return order > o.order;
+    }
+  };
+  std::priority_queue<Node, std::vector<Node>, std::greater<Node>> pq;
+  std::vector<uint8_t> done(static_cast<size_t>(h) * w, 0);
+  uint64_t counter = 0;
+  const size_t n = static_cast<size_t>(h) * w;
+  for (size_t i = 0; i < n; ++i) {
+    if (labels[i] > 0 && region[i]) {
+      pq.push({elevation[i], counter++, (int)i, (int)i});
+      done[i] = 1;
+    }
+  }
+  const int dy[8] = {-1, 1, 0, 0, -1, -1, 1, 1};
+  const int dx[8] = {0, 0, -1, 1, -1, 1, -1, 1};
+  while (!pq.empty()) {
+    Node nd = pq.top();
+    pq.pop();
+    int cy = nd.idx / w, cx = nd.idx % w;
+    for (int k = 0; k < 8; ++k) {
+      int yy = cy + dy[k], xx = cx + dx[k];
+      if (yy < 0 || yy >= h || xx < 0 || xx >= w) continue;
+      size_t j = static_cast<size_t>(yy) * w + xx;
+      if (done[j] || !region[j] || labels[j] > 0) continue;
+      labels[j] = labels[nd.idx];
+      done[j] = 1;
+      float pr = elevation[j];
+      if (compactness > 0) {
+        int sy = nd.seed / w, sx = nd.seed % w;
+        float ddy = (float)(yy - sy), ddx = (float)(xx - sx);
+        pr += (float)compactness * (ddy * ddy + ddx * ddx);
+      }
+      pq.push({pr, counter++, (int)j, nd.seed});
+    }
+  }
+}
+
+// Connected components, BFS.  mask: h*w uint8; labels out: h*w int32 with
+// background = 0, components 1..n.  Returns component count.
+int connected_components(const uint8_t* mask, int32_t* labels, int h, int w,
+                         int connectivity) {
+  const size_t n = static_cast<size_t>(h) * w;
+  std::memset(labels, 0, n * sizeof(int32_t));
+  const int dy8[8] = {-1, 1, 0, 0, -1, -1, 1, 1};
+  const int dx8[8] = {0, 0, -1, 1, -1, 1, -1, 1};
+  int nn = connectivity == 4 ? 4 : 8;
+  int next = 0;
+  std::vector<int> stack;
+  for (size_t i = 0; i < n; ++i) {
+    if (!mask[i] || labels[i]) continue;
+    ++next;
+    stack.clear();
+    stack.push_back((int)i);
+    labels[i] = next;
+    while (!stack.empty()) {
+      int cur = stack.back();
+      stack.pop_back();
+      int cy = cur / w, cx = cur % w;
+      for (int k = 0; k < nn; ++k) {
+        int yy = cy + dy8[k], xx = cx + dx8[k];
+        if (yy < 0 || yy >= h || xx < 0 || xx >= w) continue;
+        size_t j = static_cast<size_t>(yy) * w + xx;
+        if (mask[j] && !labels[j]) {
+          labels[j] = next;
+          stack.push_back((int)j);
+        }
+      }
+    }
+  }
+  return next;
+}
+
+}  // extern "C"

@@ -1,0 +1,85 @@
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from inklayer_tpu import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("g++ unavailable")
+    return lib
+
+
+def test_exact_edt_matches_scipy(lib, rng):
+    seeds = rng.random((40, 50)) > 0.95
+    seeds[0, 0] = True
+    ours = native.exact_edt(seeds)
+    ref = ndimage.distance_transform_edt(~seeds)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_connected_components_matches_scipy(lib, rng):
+    mask = rng.random((30, 40)) > 0.7
+    ours, n_ours = native.connected_components(mask, 8)
+    ref, n_ref = ndimage.label(mask, structure=np.ones((3, 3)))
+    assert n_ours == n_ref
+    # same partition
+    pairs = {(int(a), int(b)) for a, b in zip(ours[mask], ref[mask])}
+    assert len(pairs) == n_ours
+
+
+def test_watershed_basic(lib):
+    markers = np.zeros((20, 20), np.int32)
+    markers[5, 2] = 1
+    markers[5, 17] = 2
+    elevation = np.zeros((20, 20), np.float32)
+    region = np.ones((20, 20), np.uint8)
+    labels = native.watershed(markers, elevation, region)
+    assert labels[5, 4] == 1
+    assert labels[5, 15] == 2
+    assert (labels > 0).all()
+
+
+def test_watershed_respects_region(lib):
+    markers = np.zeros((10, 10), np.int32)
+    markers[5, 1] = 1
+    region = np.zeros((10, 10), np.uint8)
+    region[5, :] = 1
+    labels = native.watershed(markers, np.zeros((10, 10), np.float32), region)
+    assert labels[5, 8] == 1
+    assert labels[2, 2] == 0
+
+
+def test_watershed_elevation_barrier(lib):
+    """Label expansion follows ascending elevation: the lower-barrier side is
+    claimed by the nearer seed."""
+    markers = np.zeros((10, 21), np.int32)
+    markers[5, 0] = 1
+    markers[5, 20] = 2
+    elev = np.zeros((10, 21), np.float32)
+    elev[:, 8] = 100.0  # wall closer to seed 1
+    labels = native.watershed(markers, elev,
+                              np.ones((10, 21), np.uint8))
+    assert labels[5, 5] == 1
+    assert labels[5, 12] == 2
+    # the wall itself is flooded last from the cheaper side; both claims legal
+    assert (labels > 0).all()
+
+
+def test_device_chamfer_vs_native_edt(lib, rng):
+    """Our TPU chamfer approximation stays within its documented bound of
+    the exact native EDT."""
+    import jax.numpy as jnp
+
+    from inklayer_tpu.ops.distance import chamfer_distance
+
+    seeds = np.zeros((48, 48), bool)
+    seeds[10, 12] = True
+    seeds[30, 40] = True
+    exact = native.exact_edt(seeds)
+    approx = np.asarray(chamfer_distance(jnp.asarray(seeds), iters=60))
+    assert (approx >= exact - 1e-4).all()
+    assert (approx <= exact * 1.09 + 1e-4).all()
