@@ -80,8 +80,10 @@ class Rule:
     Templates use backrefs \\1 etc.; path segments separated by '/'."""
 
     def __init__(self, pattern: str, path: str, transform: str = "id"):
+        self.pattern = pattern
         self.re = re.compile(pattern + r"\Z")
         self.path = path
+        self.transform_name = transform
         self.transform = TRANSFORMS[transform]
 
     def apply(self, key: str) -> Optional[Tuple[str, Callable]]:
@@ -613,3 +615,250 @@ def load_gdino_params(path: str, cfg, model, example_args):
     template = jax.eval_shape(
         lambda k: model.init(k, *example_args), jax.random.key(0))
     return fill_params(template, tree)
+
+
+# ---------------------------------------------------------------------------
+# Diffusion checkpoints (diffusers layout: runwayml/stable-diffusion-
+# inpainting unet+vae+text_encoder, lllyasviel/control_v11p_sd15_inpaint)
+# ---------------------------------------------------------------------------
+
+_RES = [
+    # shared resnet sub-module mapping fragments (diffusers name == ours)
+    ("norm1", "norm1", "id"), ("conv1", "conv1", "conv"),
+    ("time_emb_proj", "time_emb_proj", "linear"),
+    ("norm2", "norm2", "id"), ("conv2", "conv2", "conv"),
+    ("conv_shortcut", "conv_shortcut", "conv"),
+]
+
+
+def _resnet_rules(prefix_t: str, prefix_f: str):
+    rules = []
+    for tname, fname, kind in _RES:
+        wkind = "id" if kind == "id" else kind
+        rules.append(Rule(rf"{prefix_t}\.{tname}\.weight",
+                          rf"{prefix_f}/{fname}/" +
+                          ("scale" if kind == "id" else "kernel"), wkind))
+        rules.append(Rule(rf"{prefix_t}\.{tname}\.bias",
+                          rf"{prefix_f}/{fname}/bias"))
+    return rules
+
+
+def _tx_rules(prefix_t: str, prefix_f: str):
+    """Transformer2DModel with one BasicTransformerBlock."""
+    tb = rf"{prefix_t}\.transformer_blocks\.0"
+    rules = [
+        Rule(rf"{prefix_t}\.norm\.weight", rf"{prefix_f}/norm/scale"),
+        Rule(rf"{prefix_t}\.norm\.bias", rf"{prefix_f}/norm/bias"),
+        Rule(rf"{prefix_t}\.proj_in\.weight", rf"{prefix_f}/proj_in/kernel", "conv"),
+        Rule(rf"{prefix_t}\.proj_in\.bias", rf"{prefix_f}/proj_in/bias"),
+        Rule(rf"{prefix_t}\.proj_out\.weight", rf"{prefix_f}/proj_out/kernel", "conv"),
+        Rule(rf"{prefix_t}\.proj_out\.bias", rf"{prefix_f}/proj_out/bias"),
+        Rule(rf"{tb}\.ff\.net\.0\.proj\.weight", rf"{prefix_f}/ff/proj_in/kernel",
+             "linear"),
+        Rule(rf"{tb}\.ff\.net\.0\.proj\.bias", rf"{prefix_f}/ff/proj_in/bias"),
+        Rule(rf"{tb}\.ff\.net\.2\.weight", rf"{prefix_f}/ff/proj_out/kernel",
+             "linear"),
+        Rule(rf"{tb}\.ff\.net\.2\.bias", rf"{prefix_f}/ff/proj_out/bias"),
+    ]
+    for a in ("attn1", "attn2"):
+        for p in ("to_q", "to_k", "to_v"):
+            rules.append(Rule(rf"{tb}\.{a}\.{p}\.weight",
+                              rf"{prefix_f}/{a}/{p}/kernel", "linear"))
+        rules.append(Rule(rf"{tb}\.{a}\.to_out\.0\.weight",
+                          rf"{prefix_f}/{a}/to_out/kernel", "linear"))
+        rules.append(Rule(rf"{tb}\.{a}\.to_out\.0\.bias",
+                          rf"{prefix_f}/{a}/to_out/bias"))
+    for n in ("norm1", "norm2", "norm3"):
+        rules.append(Rule(rf"{tb}\.{n}\.weight", rf"{prefix_f}/{n}/scale"))
+        rules.append(Rule(rf"{tb}\.{n}\.bias", rf"{prefix_f}/{n}/bias"))
+    return rules
+
+
+def _unet_core_rules(out_prefix: str = ""):
+    """Rules shared by UNet and ControlNet encoders."""
+    p = out_prefix
+    rules = [
+        Rule(r"conv_in\.weight", rf"{p}conv_in/kernel", "conv"),
+        Rule(r"conv_in\.bias", rf"{p}conv_in/bias"),
+        Rule(r"time_embedding\.linear_1\.weight",
+             rf"{p}time_embedding/linear_1/kernel", "linear"),
+        Rule(r"time_embedding\.linear_1\.bias",
+             rf"{p}time_embedding/linear_1/bias"),
+        Rule(r"time_embedding\.linear_2\.weight",
+             rf"{p}time_embedding/linear_2/kernel", "linear"),
+        Rule(r"time_embedding\.linear_2\.bias",
+             rf"{p}time_embedding/linear_2/bias"),
+        Rule(r"down_blocks\.(\d)\.downsamplers\.0\.conv\.weight",
+             rf"{p}down_\1_downsample/kernel", "conv"),
+        Rule(r"down_blocks\.(\d)\.downsamplers\.0\.conv\.bias",
+             rf"{p}down_\1_downsample/bias"),
+    ]
+    for i in range(4):
+        for j in range(3):
+            rules += _resnet_rules(rf"down_blocks\.{i}\.resnets\.{j}",
+                                   rf"{p}down_{i}_resnet_{j}")
+            rules += _tx_rules(rf"down_blocks\.{i}\.attentions\.{j}",
+                               rf"{p}down_{i}_attn_{j}")
+    rules += _resnet_rules(r"mid_block\.resnets\.0", rf"{p}mid_resnet_0")
+    rules += _resnet_rules(r"mid_block\.resnets\.1", rf"{p}mid_resnet_1")
+    rules += _tx_rules(r"mid_block\.attentions\.0", rf"{p}mid_attn")
+    return rules
+
+
+UNET_RULES = _unet_core_rules() + [
+    Rule(r"up_blocks\.(\d)\.upsamplers\.0\.conv\.weight",
+         r"up_\1_upsample/kernel", "conv"),
+    Rule(r"up_blocks\.(\d)\.upsamplers\.0\.conv\.bias",
+         r"up_\1_upsample/bias"),
+    Rule(r"conv_norm_out\.weight", r"conv_norm_out/scale"),
+    Rule(r"conv_norm_out\.bias", r"conv_norm_out/bias"),
+    Rule(r"conv_out\.weight", r"conv_out/kernel", "conv"),
+    Rule(r"conv_out\.bias", r"conv_out/bias"),
+]
+for _i in range(4):
+    for _j in range(3):
+        UNET_RULES += _resnet_rules(rf"up_blocks\.{_i}\.resnets\.{_j}",
+                                    rf"up_{_i}_resnet_{_j}")
+        UNET_RULES += _tx_rules(rf"up_blocks\.{_i}\.attentions\.{_j}",
+                                rf"up_{_i}_attn_{_j}")
+
+CONTROLNET_RULES = _unet_core_rules() + [
+    Rule(r"controlnet_cond_embedding\.conv_in\.weight",
+         r"cond_embedding/conv_in/kernel", "conv"),
+    Rule(r"controlnet_cond_embedding\.conv_in\.bias",
+         r"cond_embedding/conv_in/bias"),
+    Rule(r"controlnet_cond_embedding\.blocks\.(\d)\.weight",
+         r"cond_embedding/blocks_\1/kernel", "conv"),
+    Rule(r"controlnet_cond_embedding\.blocks\.(\d)\.bias",
+         r"cond_embedding/blocks_\1/bias"),
+    Rule(r"controlnet_cond_embedding\.conv_out\.weight",
+         r"cond_embedding/conv_out/kernel", "conv"),
+    Rule(r"controlnet_cond_embedding\.conv_out\.bias",
+         r"cond_embedding/conv_out/bias"),
+    Rule(r"controlnet_down_blocks\.(\d+)\.weight", r"zero_conv_\1/kernel", "conv"),
+    Rule(r"controlnet_down_blocks\.(\d+)\.bias", r"zero_conv_\1/bias"),
+    Rule(r"controlnet_mid_block\.weight", r"zero_conv_mid/kernel", "conv"),
+    Rule(r"controlnet_mid_block\.bias", r"zero_conv_mid/bias"),
+]
+
+
+def _vae_block_rules(side: str):
+    """side: 'encoder' (2 resnets/stage, downsamplers) or 'decoder'
+    (3 resnets/stage, upsamplers)."""
+    n_res = 2 if side == "encoder" else 3
+    rules = [
+        Rule(rf"{side}\.conv_in\.weight", rf"{side}/conv_in/kernel", "conv"),
+        Rule(rf"{side}\.conv_in\.bias", rf"{side}/conv_in/bias"),
+        Rule(rf"{side}\.conv_norm_out\.weight", rf"{side}/conv_norm_out/scale"),
+        Rule(rf"{side}\.conv_norm_out\.bias", rf"{side}/conv_norm_out/bias"),
+        Rule(rf"{side}\.conv_out\.weight", rf"{side}/conv_out/kernel", "conv"),
+        Rule(rf"{side}\.conv_out\.bias", rf"{side}/conv_out/bias"),
+        Rule(rf"{side}\.mid_block\.attentions\.0\.group_norm\.weight",
+             rf"{side}/mid_attn/group_norm/scale"),
+        Rule(rf"{side}\.mid_block\.attentions\.0\.group_norm\.bias",
+             rf"{side}/mid_attn/group_norm/bias"),
+        Rule(rf"{side}\.mid_block\.attentions\.0\.to_(q|k|v)\.weight",
+             rf"{side}/mid_attn/to_\1/kernel", "linear"),
+        Rule(rf"{side}\.mid_block\.attentions\.0\.to_(q|k|v)\.bias",
+             rf"{side}/mid_attn/to_\1/bias"),
+        Rule(rf"{side}\.mid_block\.attentions\.0\.to_out\.0\.weight",
+             rf"{side}/mid_attn/to_out/kernel", "linear"),
+        Rule(rf"{side}\.mid_block\.attentions\.0\.to_out\.0\.bias",
+             rf"{side}/mid_attn/to_out/bias"),
+    ]
+    rules += _resnet_vae(rf"{side}\.mid_block\.resnets\.0", rf"{side}/mid_resnet_0")
+    rules += _resnet_vae(rf"{side}\.mid_block\.resnets\.1", rf"{side}/mid_resnet_1")
+    blk = "down_blocks" if side == "encoder" else "up_blocks"
+    ours = "down" if side == "encoder" else "up"
+    for i in range(4):
+        for j in range(n_res):
+            rules += _resnet_vae(rf"{side}\.{blk}\.{i}\.resnets\.{j}",
+                                 rf"{side}/{ours}_{i}_resnet_{j}")
+    if side == "encoder":
+        rules.append(Rule(rf"{side}\.down_blocks\.(\d)\.downsamplers\.0\.conv\.weight",
+                          rf"{side}/down_\1_downsample/kernel", "conv"))
+        rules.append(Rule(rf"{side}\.down_blocks\.(\d)\.downsamplers\.0\.conv\.bias",
+                          rf"{side}/down_\1_downsample/bias"))
+    else:
+        rules.append(Rule(rf"{side}\.up_blocks\.(\d)\.upsamplers\.0\.conv\.weight",
+                          rf"{side}/up_\1_upsample/kernel", "conv"))
+        rules.append(Rule(rf"{side}\.up_blocks\.(\d)\.upsamplers\.0\.conv\.bias",
+                          rf"{side}/up_\1_upsample/bias"))
+    return rules
+
+
+def _resnet_vae(prefix_t: str, prefix_f: str):
+    rules = []
+    for tname, fname, kind in _RES:
+        if tname == "time_emb_proj":
+            continue
+        rules.append(Rule(rf"{prefix_t}\.{tname}\.weight",
+                          rf"{prefix_f}/{fname}/" +
+                          ("scale" if kind == "id" else "kernel"),
+                          "id" if kind == "id" else kind))
+        rules.append(Rule(rf"{prefix_t}\.{tname}\.bias",
+                          rf"{prefix_f}/{fname}/bias"))
+    return rules
+
+
+VAE_RULES = (_vae_block_rules("encoder") + _vae_block_rules("decoder") + [
+    Rule(r"quant_conv\.weight", r"encoder/quant_conv/kernel", "conv"),
+    Rule(r"quant_conv\.bias", r"encoder/quant_conv/bias"),
+    Rule(r"post_quant_conv\.weight", r"decoder/post_quant_conv/kernel", "conv"),
+    Rule(r"post_quant_conv\.bias", r"decoder/post_quant_conv/bias"),
+])
+
+CLIP_TEXT_RULES = [
+    Rule(r"text_model\.embeddings\.token_embedding\.weight",
+         r"token_embedding/embedding"),
+    Rule(r"text_model\.embeddings\.position_embedding\.weight",
+         r"position_embedding"),
+    Rule(r"text_model\.encoder\.layers\.(\d+)\.self_attn\.(q|k|v|out)_proj\.weight",
+         r"layers_\1/\2_proj/kernel", "linear"),
+    Rule(r"text_model\.encoder\.layers\.(\d+)\.self_attn\.(q|k|v|out)_proj\.bias",
+         r"layers_\1/\2_proj/bias"),
+    Rule(r"text_model\.encoder\.layers\.(\d+)\.layer_norm([12])\.weight",
+         r"layers_\1/layer_norm\2/scale"),
+    Rule(r"text_model\.encoder\.layers\.(\d+)\.layer_norm([12])\.bias",
+         r"layers_\1/layer_norm\2/bias"),
+    Rule(r"text_model\.encoder\.layers\.(\d+)\.mlp\.fc([12])\.weight",
+         r"layers_\1/fc\2/kernel", "linear"),
+    Rule(r"text_model\.encoder\.layers\.(\d+)\.mlp\.fc([12])\.bias",
+         r"layers_\1/fc\2/bias"),
+    Rule(r"text_model\.final_layer_norm\.weight", r"final_layer_norm/scale"),
+    Rule(r"text_model\.final_layer_norm\.bias", r"final_layer_norm/bias"),
+]
+
+DIFFUSION_IGNORE = [
+    r"text_model\.embeddings\.position_ids",
+    r".*\.num_batches_tracked",
+    r"text_projection\..*",
+]
+
+
+def _load_component(path, rules, model, example_args, ignore=()):
+    import jax
+
+    sd = load_torch_state_dict(path)
+    flat, _ = convert_state_dict(sd, rules, strict=True,
+                                 ignore=list(ignore) + DIFFUSION_IGNORE)
+    tree = {"params": tree_from_paths(flat)}
+    template = jax.eval_shape(
+        lambda k: model.init(k, *example_args), jax.random.key(0))
+    return fill_params(template, tree)
+
+
+def load_unet_params(path, model, example_args):
+    return _load_component(path, UNET_RULES, model, example_args)
+
+
+def load_controlnet_params(path, model, example_args):
+    return _load_component(path, CONTROLNET_RULES, model, example_args)
+
+
+def load_vae_params(path, model, example_args):
+    return _load_component(path, VAE_RULES, model, example_args)
+
+
+def load_clip_text_params(path, model, example_args):
+    return _load_component(path, CLIP_TEXT_RULES, model, example_args)
