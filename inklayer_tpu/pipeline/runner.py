@@ -115,6 +115,23 @@ class InkLayerPipeline:
         io_out.save_masks_dir(cleaned, os.path.join(out_dir, "masks_cleaned"))
 
         # ---- sketch NMS (IoU matrix on device) ---------------------------
+        # mmdetection alt path: prefer mmdet_out/*.json boxes when present
+        # (refinement/bbox_filter.py:40-45)
+        import glob as _glob
+
+        mmdet_json = _glob.glob(os.path.join(out_dir, "mmdet_out", "*.json"))
+        if mmdet_json:
+            import json as _json
+
+            with open(mmdet_json[0]) as f:
+                alt = _json.load(f)
+            alt_norm = np.asarray(alt["bboxes"], float)
+            boxes_abs = alt_norm * np.asarray([w, h, w, h]) \
+                if alt_norm.size and alt_norm.max() <= 1.0 else alt_norm
+            scores = np.asarray(alt["scores"], float)
+            xyxy_norm = boxes_abs / np.asarray([w, h, w, h]) \
+                if boxes_abs.size else boxes_abs
+
         t0 = time.perf_counter()
         kept = sketch_nms(boxes_abs, scores, cleaned_dev, gray, cfg.refine)
         self.stage_times.add("nms", time.perf_counter() - t0)
