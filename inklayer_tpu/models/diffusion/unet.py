@@ -99,20 +99,13 @@ class GEGLUFeedForward(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 
-class TransformerBlock2D(nn.Module):
+class BasicTransformerBlock(nn.Module):
     channels: int
     heads: int
-    context_dim: int = 768
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context):
-        b, h, w, c = x.shape
-        res = x
-        y = nn.GroupNorm(num_groups=min(32, c), dtype=self.dtype, name="norm")(x)
-        y = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="proj_in")(y)
-        y = y.reshape(b, h * w, self.channels)
-        # basic transformer block
+    def __call__(self, y, context):
         z = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm1")(y)
         y = y + CrossAttention(self.channels, self.heads, dtype=self.dtype,
                                name="attn1")(z)
@@ -120,10 +113,57 @@ class TransformerBlock2D(nn.Module):
         y = y + CrossAttention(self.channels, self.heads, dtype=self.dtype,
                                name="attn2")(z, context)
         z = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm3")(y)
-        y = y + GEGLUFeedForward(self.channels, dtype=self.dtype, name="ff")(z)
-        y = y.reshape(b, h, w, self.channels)
-        y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
+        return y + GEGLUFeedForward(self.channels, dtype=self.dtype,
+                                    name="ff")(z)
+
+
+class TransformerBlock2D(nn.Module):
+    channels: int
+    heads: int
+    context_dim: int = 768
+    depth: int = 1  # SDXL uses 2/10 stacked basic blocks
+    linear_proj: bool = False  # SDXL: Linear proj_in/out; SD1.5: 1x1 conv
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        res = x
+        y = nn.GroupNorm(num_groups=min(32, c), dtype=self.dtype, name="norm")(x)
+        if self.linear_proj:
+            y = y.reshape(b, h * w, c)
+            y = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(y)
+        else:
+            y = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                        name="proj_in")(y)
+            y = y.reshape(b, h * w, self.channels)
+        if self.depth == 1:
+            # SD1.5 layout: basic-block params directly at this level (keeps
+            # the existing checkpoint rules stable)
+            y = self._single(y, context)
+        else:
+            for d in range(self.depth):
+                y = BasicTransformerBlock(self.channels, self.heads,
+                                          dtype=self.dtype,
+                                          name=f"block_{d}")(y, context)
+        if self.linear_proj:
+            y = nn.Dense(c, dtype=self.dtype, name="proj_out")(y)
+            y = y.reshape(b, h, w, c)
+        else:
+            y = y.reshape(b, h, w, self.channels)
+            y = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(y)
         return res + y
+
+    def _single(self, y, context):
+        z = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm1")(y)
+        y = y + CrossAttention(self.channels, self.heads, dtype=self.dtype,
+                               name="attn1")(z)
+        z = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm2")(y)
+        y = y + CrossAttention(self.channels, self.heads, dtype=self.dtype,
+                               name="attn2")(z, context)
+        z = LayerNorm(eps=1e-5, dtype=self.dtype, name="norm3")(y)
+        return y + GEGLUFeedForward(self.channels, dtype=self.dtype,
+                                    name="ff")(z)
 
 
 class UNet2DCondition(nn.Module):
@@ -131,43 +171,68 @@ class UNet2DCondition(nn.Module):
     out_channels: int = 4
     block_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
-    attention_head_dim: int = 40  # heads = ch // head_dim... SD1.5 uses 8 heads
     num_heads: int = 8
+    head_dim: int = 0  # >0: heads = ch // head_dim (SDXL); else num_heads
     context_dim: int = 768
+    # transformer depth per DOWN block; 0 = plain block (SD1.5: (1,1,1,0);
+    # SDXL: (0,2,10)). Up blocks mirror in reverse.
+    transformer_layers: Tuple[int, ...] = (1, 1, 1, 0)
+    linear_proj: bool = False  # SDXL transformer proj style
+    # SDXL "text_time" additional conditioning:
+    addition_embed_dim: int = 0  # sinusoidal dim for time_ids (256 for SDXL)
+    addition_proj_dim: int = 0  # input dim of the add-embed MLP (2816)
     dtype: jnp.dtype = jnp.float32
+
+    def _heads(self, c: int) -> int:
+        return c // self.head_dim if self.head_dim else self.num_heads
 
     @nn.compact
     def __call__(self, sample, timesteps, context,
                  down_residuals: Optional[Sequence[jax.Array]] = None,
                  mid_residual: Optional[jax.Array] = None,
-                 return_features: bool = False):
+                 return_features: bool = False,
+                 pooled_text: Optional[jax.Array] = None,
+                 time_ids: Optional[jax.Array] = None):
         """sample: (B, H, W, in_ch) latents; timesteps: (B,); context:
-        (B, 77, context_dim).  down/mid_residual: ControlNet additions."""
+        (B, T, context_dim).  down/mid_residual: ControlNet additions.
+        pooled_text (B, D) + time_ids (B, 6): SDXL text_time conditioning."""
         ch = self.block_channels
+        tdepth = self.transformer_layers
         temb = timestep_embedding(timesteps, ch[0])
         temb = TimeEmbedding(ch[0] * 4, dtype=self.dtype,
                              name="time_embedding")(temb.astype(self.dtype))
+        if self.addition_embed_dim and pooled_text is not None:
+            b = pooled_text.shape[0]
+            tid_emb = timestep_embedding(
+                time_ids.reshape(-1), self.addition_embed_dim)
+            tid_emb = tid_emb.reshape(b, -1)
+            add = jnp.concatenate([pooled_text, tid_emb], axis=-1)
+            temb = temb + TimeEmbedding(ch[0] * 4, dtype=self.dtype,
+                                        name="add_embedding")(
+                add.astype(self.dtype))
 
         x = nn.Conv(ch[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(sample)
         skips = [x]
         # ----- down -----
         for i, c in enumerate(ch):
-            has_attn = i < len(ch) - 1
             for j in range(self.layers_per_block):
                 x = ResnetBlockT(c, dtype=self.dtype,
                                  name=f"down_{i}_resnet_{j}")(x, temb)
-                if has_attn:
-                    x = TransformerBlock2D(c, self.num_heads, self.context_dim,
-                                           dtype=self.dtype,
-                                           name=f"down_{i}_attn_{j}")(x, context)
+                if tdepth[i] > 0:
+                    x = TransformerBlock2D(
+                        c, self._heads(c), self.context_dim, depth=tdepth[i],
+                        linear_proj=self.linear_proj, dtype=self.dtype,
+                        name=f"down_{i}_attn_{j}")(x, context)
                 skips.append(x)
             if i < len(ch) - 1:
                 x = nn.Conv(c, (3, 3), strides=(2, 2), padding=1,
                             dtype=self.dtype, name=f"down_{i}_downsample")(x)
                 skips.append(x)
         # ----- mid -----
+        mid_depth = max(tdepth)
         x = ResnetBlockT(ch[-1], dtype=self.dtype, name="mid_resnet_0")(x, temb)
-        x = TransformerBlock2D(ch[-1], self.num_heads, self.context_dim,
+        x = TransformerBlock2D(ch[-1], self._heads(ch[-1]), self.context_dim,
+                               depth=mid_depth, linear_proj=self.linear_proj,
                                dtype=self.dtype, name="mid_attn")(x, context)
         x = ResnetBlockT(ch[-1], dtype=self.dtype, name="mid_resnet_1")(x, temb)
 
@@ -180,16 +245,17 @@ class UNet2DCondition(nn.Module):
 
         # ----- up -----
         for i, c in enumerate(reversed(ch)):
-            has_attn = i > 0
+            up_depth = tuple(reversed(tdepth))[i]
             for j in range(self.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = ResnetBlockT(c, dtype=self.dtype,
                                  name=f"up_{i}_resnet_{j}")(x, temb)
-                if has_attn:
-                    x = TransformerBlock2D(c, self.num_heads, self.context_dim,
-                                           dtype=self.dtype,
-                                           name=f"up_{i}_attn_{j}")(x, context)
+                if up_depth > 0:
+                    x = TransformerBlock2D(
+                        c, self._heads(c), self.context_dim, depth=up_depth,
+                        linear_proj=self.linear_proj, dtype=self.dtype,
+                        name=f"up_{i}_attn_{j}")(x, context)
             if i < len(ch) - 1:
                 b, hh, ww, cc = x.shape
                 x = jax.image.resize(x, (b, hh * 2, ww * 2, cc), "nearest")

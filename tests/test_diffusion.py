@@ -144,3 +144,55 @@ def test_pipeline_end_to_end_tiny(rng):
     out2 = fn(img, mask)
     assert out2.size == (64, 64)
     assert out2.mode == "RGB"
+
+
+def test_sdxl_tiny_end_to_end(rng):
+    from inklayer_tpu.models.diffusion.sdxl import (
+        SDXLConfig, SDXLInpaintPipeline, build_sdxl_models)
+
+    cfg = SDXLConfig(
+        resolution=64, num_steps=3, strength=0.9,
+        block_channels=(8, 16, 16), transformer_layers=(0, 1, 2),
+        context_dim=24, pooled_dim=16, vae_channels=(8, 8, 8, 8),
+        text_l_hidden=8, text_g_hidden=16, text_l_layers=2, text_g_layers=2)
+    unet, vae, text_l, text_g = build_sdxl_models(cfg)
+    # head_dim=64 would zero out heads at tiny dims; rebuild with head_dim=8
+    from inklayer_tpu.models.diffusion.unet import UNet2DCondition
+    unet = UNet2DCondition(
+        in_channels=9, block_channels=cfg.block_channels,
+        transformer_layers=cfg.transformer_layers, linear_proj=True,
+        head_dim=8, context_dim=cfg.context_dim,
+        addition_embed_dim=4, addition_proj_dim=cfg.pooled_dim + 24)
+
+    key = jax.random.key(0)
+    params = {
+        "unet": unet.init(key, jnp.zeros((2, 8, 8, 9)),
+                          jnp.zeros((2,), jnp.int32), jnp.zeros((2, 7, 24)),
+                          pooled_text=jnp.zeros((2, 16)),
+                          time_ids=jnp.zeros((2, 6))),
+        "vae": vae.init(key, jnp.zeros((1, 64, 64, 3))),
+        "text_l": text_l.init(key, jnp.zeros((2, 77), jnp.int32)),
+        "text_g": text_g.init(key, jnp.zeros((2, 77), jnp.int32)),
+    }
+    pipe = SDXLInpaintPipeline(params, cfg)
+    pipe.unet = unet  # match the tiny head_dim build
+    from PIL import Image as PILImage
+    img = PILImage.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8))
+    mask = PILImage.fromarray((np.eye(64) > 0.5).astype(np.uint8) * 255)
+    out = pipe.generate(img, mask)
+    assert out.size == (64, 64)
+
+
+def test_unet_sd15_layout_unchanged(rng):
+    """The generalized UNet must keep the SD1.5 parameter layout (checkpoint
+    rules depend on it)."""
+    unet = UNet2DCondition(block_channels=(8, 16, 16, 16), context_dim=16)
+    params = unet.init(jax.random.key(0), jnp.zeros((1, 16, 16, 9)),
+                       jnp.zeros((1,), jnp.int32), jnp.zeros((1, 7, 16)))
+    p = params["params"]
+    # attn params live directly under the transformer block (depth-1 layout)
+    assert "attn1" in p["down_0_attn_0"]
+    assert "to_q" in p["down_0_attn_0"]["attn1"]
+    assert "block_0" not in p["down_0_attn_0"]
+    # final down block has no attention
+    assert not any(k.startswith("down_3_attn") for k in p)
