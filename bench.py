@@ -118,12 +118,54 @@ def measure(iters: int = 10):
     return float(np.percentile(times, 50)), compile_s, times
 
 
+def measure_throughput(batch: int = 4, iters: int = 5):
+    """Sketches/sec: B sketches through the fused detect+segment per launch
+    (directory-sweep batching, BASELINE.json config 2)."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    fn, gp, sp, _ = build_workload()
+    paths = sorted(glob.glob("/root/reference/data/*.png"))[:batch] or [DATA]
+    imgs = []
+    for p in paths:
+        arr = np.asarray(Image.open(p).convert("RGB").resize((750, 750)))
+        imgs.append(arr)
+    while len(imgs) < batch:
+        imgs.append(imgs[-1])
+    batch_imgs = [jnp.asarray(x) for x in imgs]
+
+    # sequential launches over the batch, one warm pass first
+    for im in batch_imgs:
+        float(fn(gp, sp, im))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        vals = [fn(gp, sp, im) for im in batch_imgs]
+        for v in vals:
+            float(v)  # force completion
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--calibrate-cpu", action="store_true",
                     help="measure the CPU-backend reference time and store it")
+    ap.add_argument("--throughput", action="store_true",
+                    help="measure sketches/sec over the demo directory")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
+
+    if args.throughput:
+        sps = measure_throughput(iters=args.iters)
+        print(json.dumps({
+            "metric": "sketches/sec per chip detect+segment",
+            "value": round(sps, 3), "unit": "sketches/s",
+            "vs_baseline": 0.0,
+        }))
+        return
 
     if args.calibrate_cpu:
         import jax
