@@ -39,3 +39,31 @@ def test_timer_sections():
     rep = t.report()
     assert rep["a"]["calls"] == 2
     assert rep["b"]["calls"] == 1
+
+
+def test_export_sam_decoder_roundtrip(tmp_path, rng):
+    import jax
+
+    from inklayer_tpu.io.export import export_sam_decoder, load_exported
+    from inklayer_tpu.models.sam import Sam
+    from tests.test_sam import TINY
+
+    model = Sam(TINY)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, TINY.image_size, TINY.image_size, 3)),
+                        jnp.zeros((2, 4)))
+    path = str(tmp_path / "sam_decoder.stablehlo")
+    exported, blob = export_sam_decoder(params, TINY, path, box_capacity=2)
+    assert len(blob) > 1000
+
+    grid = TINY.image_size // TINY.patch_size
+    emb = jnp.asarray(
+        rng.standard_normal((1, grid, grid, TINY.prompt_embed_dim)),
+        jnp.float32)
+    boxes = jnp.asarray([[4.0, 4.0, 30.0, 30.0], [0.0, 0.0, 64.0, 64.0]])
+    direct_logits, direct_iou = model.apply(params, emb, boxes,
+                                            method=Sam.decode_boxes)
+    restored = load_exported(path)
+    out_logits, out_iou = restored.call(emb, boxes)
+    np.testing.assert_allclose(np.asarray(out_logits),
+                               np.asarray(direct_logits), atol=1e-5)

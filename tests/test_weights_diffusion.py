@@ -35,7 +35,7 @@ def _invert_rule(rule: W.Rule):
     while i < len(tgt):
         m = re.match(r"\\g<(\d+)>|\\(\d)", tgt[i:])
         if m:
-            tgt_regex += r"([0-9a-z]+)"
+            tgt_regex += r"([0-9a-z_]+?)"
             n_groups += 1
             i += m.end()
         else:
@@ -135,3 +135,79 @@ def test_diffusion_conversion_coverage(which, rng, tmp_path):
     leaves = jax.tree_util.tree_leaves(out)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves
                if hasattr(l, "shape"))
+
+
+def test_gdino_conversion_coverage(rng, tmp_path):
+    """Full-coverage conversion for the GroundingDINO rule table, including
+    the packed nn.MultiheadAttention in_proj splitting."""
+    from tests.test_gdino import TINY
+    from inklayer_tpu.models.gdino import GroundingDINO
+    from inklayer_tpu.models.gdino.bert import subsentence_masks
+
+    model = GroundingDINO(TINY)
+    ids = np.asarray([[101, 4874, 1012, 102]], np.int32)
+    attn, pos = subsentence_masks(ids)
+    args = (jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64), bool),
+            jnp.asarray(ids), jnp.asarray(attn),
+            jnp.asarray(pos.astype(np.int32)))
+    template = jax.eval_shape(lambda k: model.init(k, *args),
+                              jax.random.key(0))
+
+    inverted = [(rule, *_invert_rule(rule)) for rule in W.GDINO_RULES
+                if not rule.path.startswith("__special")]
+    inverted.sort(key=lambda t: t[2])
+    flat, _ = jax.tree_util.tree_flatten_with_path(template)
+    sd = {}
+    missing = []
+    d = TINY.hidden_dim
+    # packed in_proj tensors covered by the special split rules
+    for i in range(TINY.dec_layers):
+        sd[f"transformer.decoder.layers.{i}.self_attn.in_proj_weight"] = \
+            rng.standard_normal((3 * d, d)).astype(np.float32) * 0.02
+        sd[f"transformer.decoder.layers.{i}.self_attn.in_proj_bias"] = \
+            np.zeros((3 * d,), np.float32)
+        sd[f"transformer.decoder.layers.{i}.ca_text.in_proj_weight"] = \
+            rng.standard_normal((3 * d, d)).astype(np.float32) * 0.02
+        sd[f"transformer.decoder.layers.{i}.ca_text.in_proj_bias"] = \
+            np.zeros((3 * d,), np.float32)
+    for i in range(TINY.enc_layers):
+        sd[f"transformer.encoder.text_layers.{i}.self_attn.in_proj_weight"] = \
+            rng.standard_normal((3 * d, d)).astype(np.float32) * 0.02
+        sd[f"transformer.encoder.text_layers.{i}.self_attn.in_proj_bias"] = \
+            np.zeros((3 * d,), np.float32)
+    split_covered = set()
+    for i in range(TINY.dec_layers):
+        for nm in ("q", "k", "v"):
+            split_covered.add(f"transformer/dec_layer_{i}/sa_{nm}/kernel")
+            split_covered.add(f"transformer/dec_layer_{i}/sa_{nm}/bias")
+            split_covered.add(f"transformer/dec_layer_{i}/ca_text_{nm}/kernel")
+            split_covered.add(f"transformer/dec_layer_{i}/ca_text_{nm}/bias")
+    for i in range(TINY.enc_layers):
+        for nm in ("q", "k", "v"):
+            split_covered.add(f"transformer/enc_text_{i}/{nm}_proj/kernel")
+            split_covered.add(f"transformer/enc_text_{i}/{nm}_proj/bias")
+
+    for path, leaf in flat:
+        keys = [str(getattr(p, "key", p)) for p in path]
+        fpath = "/".join(keys[1:])
+        if fpath in split_covered:
+            continue
+        for rule, regex, _n in inverted:
+            m = regex.match(fpath)
+            if m:
+                key = _source_key(rule, list(m.groups()))
+                shape = _INV_SHAPES[rule.transform_name](tuple(leaf.shape))
+                sd[key] = rng.standard_normal(shape).astype(np.float32) * 0.02
+                break
+        else:
+            missing.append(fpath)
+    assert not missing, f"no rule covers: {missing[:10]}"
+
+    path = str(tmp_path / "gdino_tiny.pth")
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, path)
+    params = W.load_gdino_params(path, TINY, model, args)
+    logits, boxes = model.apply(params, *args)
+    assert np.isfinite(np.asarray(boxes)).all()
+    # converted value actually landed (spot check)
+    got = np.asarray(params["params"]["feat_map"]["kernel"])
+    np.testing.assert_allclose(got, sd["feat_map.weight"].T, atol=1e-7)
