@@ -29,3 +29,30 @@ def test_ms_deform_attn_exact_center(rng):
     wts = np.ones((1, 1, 1, 1, 1), np.float32)
     out = ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(wts))
     np.testing.assert_allclose(np.asarray(out)[0, 0], value[0, 1 * 4 + 2, 0], atol=1e-6)
+
+
+def test_dense_impl_matches_oracle(rng):
+    from inklayer_tpu.ops.deformable import _ms_deform_attn_dense
+
+    b, heads, d = 2, 2, 4
+    shapes = ((6, 8), (3, 4))
+    n_tokens = sum(h * w for h, w in shapes)
+    lq, n_points = 5, 3
+    value = rng.standard_normal((b, n_tokens, heads, d)).astype(np.float32)
+    locs = rng.uniform(-0.2, 1.2, (b, lq, heads, len(shapes), n_points, 2)
+                       ).astype(np.float32)
+    wts = rng.random((b, lq, heads, len(shapes), n_points)).astype(np.float32)
+    out = _ms_deform_attn_dense(jnp.asarray(value), shapes, jnp.asarray(locs),
+                                jnp.asarray(wts))
+    ref = ms_deform_attn_ref(value, shapes, locs, wts)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_impl_dispatch(rng):
+    shapes = ((4, 4),)
+    value = jnp.asarray(rng.standard_normal((1, 16, 1, 2)), jnp.float32)
+    locs = jnp.asarray(rng.random((1, 3, 1, 1, 2, 2)), jnp.float32)
+    wts = jnp.asarray(rng.random((1, 3, 1, 1, 2)), jnp.float32)
+    a = ms_deform_attn(value, shapes, locs, wts, impl="gather")
+    b = ms_deform_attn(value, shapes, locs, wts, impl="dense")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
