@@ -1,0 +1,78 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from inklayer_tpu.parallel.detection_loss import (
+    box_cxcywh_to_xyxy,
+    detection_loss,
+    generalized_box_iou,
+    greedy_assignment,
+)
+
+
+def test_giou_known_values():
+    a = jnp.asarray([[0.0, 0.0, 2.0, 2.0]])
+    b = jnp.asarray([[0.0, 0.0, 2.0, 2.0], [2.0, 2.0, 4.0, 4.0],
+                     [1.0, 1.0, 3.0, 3.0]])
+    g = np.asarray(generalized_box_iou(a, b))
+    assert abs(g[0, 0] - 1.0) < 1e-6  # identical
+    # disjoint diagonal boxes: iou 0, enclosing 16, union 8 -> giou -0.5
+    assert abs(g[0, 1] - (-0.5)) < 1e-6
+    # overlap 1, union 7, enclosing 9 -> 1/7 - 2/9
+    assert abs(g[0, 2] - (1 / 7 - 2 / 9)) < 1e-6
+
+
+def test_greedy_assignment():
+    cost = jnp.asarray([[0.1, 5.0], [3.0, 0.2], [9.0, 9.0]])
+    valid = jnp.asarray([True, True])
+    a = np.asarray(greedy_assignment(cost, valid))
+    assert a[0] == 0 and a[1] == 1
+    # invalid GT unassigned
+    a2 = np.asarray(greedy_assignment(cost, jnp.asarray([True, False])))
+    assert a2[1] == -1
+
+
+def test_detection_loss_perfect_prediction_lower():
+    nq, m, t = 8, 2, 6
+    rng = np.random.default_rng(0)
+    gt_boxes = jnp.asarray([[[0.3, 0.3, 0.2, 0.2], [0.7, 0.7, 0.2, 0.2]]])
+    posmap = np.zeros((1, m, t))
+    posmap[0, 0, 1] = 1
+    posmap[0, 1, 2] = 1
+    valid = jnp.asarray([[True, True]])
+
+    # perfect: two queries exactly on the GTs with confident right tokens
+    boxes = jnp.asarray(rng.random((1, nq, 4)), jnp.float32)
+    boxes = boxes.at[0, 0].set(jnp.asarray([0.3, 0.3, 0.2, 0.2]))
+    boxes = boxes.at[0, 1].set(jnp.asarray([0.7, 0.7, 0.2, 0.2]))
+    logits = jnp.full((1, nq, t), -8.0)
+    logits = logits.at[0, 0, 1].set(8.0).at[0, 1, 2].set(8.0)
+    good, gm = detection_loss(logits, boxes, gt_boxes, jnp.asarray(posmap),
+                              valid)
+
+    bad_logits = jnp.full((1, nq, t), 0.0)
+    bad_boxes = jnp.full((1, nq, 4), 0.5)
+    bad, bm = detection_loss(bad_logits, bad_boxes, gt_boxes,
+                             jnp.asarray(posmap), valid)
+    assert float(good) < float(bad)
+    assert float(gm["loss_l1"]) < 1e-5
+    assert float(gm["loss_giou"]) < 1e-5
+
+
+def test_detection_loss_grad_finite():
+    nq, m, t = 6, 2, 4
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.standard_normal((1, nq, t)), jnp.float32)
+    boxes = jax.nn.sigmoid(jnp.asarray(rng.standard_normal((1, nq, 4))))
+    gt = jnp.asarray([[[0.4, 0.4, 0.3, 0.3], [0.0, 0.0, 0.0, 0.0]]])
+    pm = jnp.zeros((1, m, t)).at[0, 0, 0].set(1.0)
+    valid = jnp.asarray([[True, False]])
+
+    def loss_fn(lg, bx):
+        total, _ = detection_loss(lg, bx, gt, pm, valid)
+        return total
+
+    g1, g2 = jax.grad(loss_fn, argnums=(0, 1))(logits, boxes)
+    assert np.isfinite(np.asarray(g1)).all()
+    assert np.isfinite(np.asarray(g2)).all()
