@@ -289,7 +289,24 @@ def save_config(cfg: PipelineConfig, path: str) -> None:
         json.dump(_to_jsonable(cfg), f, indent=2)
 
 
+def load_config_py(path: str) -> PipelineConfig:
+    """Execute a python config file that defines `config = PipelineConfig(...)`
+    — the reference's SLConfig-style executable-python configuration
+    (util/slconfig.py:42-427), without the mmcv dict-attr machinery."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("user_config", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cfg = getattr(mod, "config", None)
+    if not isinstance(cfg, PipelineConfig):
+        raise ValueError(f"{path} must define `config = PipelineConfig(...)`")
+    return cfg
+
+
 def load_config(path: str) -> PipelineConfig:
+    if path.endswith(".py"):
+        return load_config_py(path)
     with open(path) as f:
         data = json.load(f)
     # nested dataclass fields need explicit reconstruction
