@@ -116,3 +116,35 @@ def test_get_images(app):
     status, body = call(app, "GET", "/get-images")
     assert status == "200 OK"
     assert "/static/uploads/x.png" in json.loads(body)["images"]
+
+
+def test_serve_with_real_tiny_pipeline(tmp_path):
+    """Full /save-canvas-drawing -> /segment-sketch through the REAL (tiny)
+    pipeline on CPU — the complete serving integration path."""
+    import base64
+
+    from inklayer_tpu.build import build_pipeline
+    from tests.test_pipeline import TINY_PIPE
+
+    pipeline = build_pipeline(TINY_PIPE)
+    pipeline.inpainter = None  # skip the diffusion stage in this test
+    app = InkLayerApp(pipeline=pipeline, root_dir=str(tmp_path))
+
+    g = np.full((96, 96, 3), 255, np.uint8)
+    g[20:60, 20:23] = 0
+    g[20:23, 20:60] = 0
+    g[57:60, 20:60] = 0
+    g[20:60, 57:60] = 0
+    buf = io.BytesIO()
+    Image.fromarray(g).save(buf, "PNG")
+    data_url = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+    status, body = call(app, "POST", "/save-canvas-drawing",
+                        json.dumps({"imageData": data_url,
+                                    "filename": "real"}).encode())
+    assert status == "200 OK"
+    status, body = call(app, "POST", "/segment-sketch",
+                        json.dumps({"imageName": "real"}).encode())
+    # inpainter=None: pipeline.run(inpaint=True) logs and skips; layers list
+    # is then empty, but the output dir exists with the full mask contract
+    assert status == "200 OK"
+    assert os.path.exists(os.path.join(app.output_dir, "real", "masks_final"))
