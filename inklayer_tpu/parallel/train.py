@@ -83,3 +83,17 @@ class Trainer:
         self.params, self.opt_state, loss = self._step(
             self.params, self.opt_state, batch)
         return loss
+
+
+def silog_loss(pred_depth, target_depth, valid_mask, lam: float = 0.5,
+               eps: float = 1e-6):
+    """Scale-invariant log loss (the reference's unused metric-depth trainer
+    recipe, Depth_Anything_V2/metric_depth/train.py) for depth fine-tuning."""
+    import jax.numpy as jnp
+
+    d = jnp.log(pred_depth + eps) - jnp.log(target_depth + eps)
+    m = valid_mask.astype(jnp.float32)
+    n = jnp.maximum(m.sum(), 1.0)
+    mean_sq = (d * d * m).sum() / n
+    mean = (d * m).sum() / n
+    return jnp.sqrt(jnp.maximum(mean_sq - lam * mean * mean, 1e-12))

@@ -123,3 +123,31 @@ def test_gdino_finetune_step_tiny():
     new_params = optax.apply_updates(params, updates)
     loss2 = loss_fn(new_params)
     assert np.isfinite(float(loss2))
+
+
+def test_positive_map():
+    from inklayer_tpu.models.gdino.tokenizer import WordPieceTokenizer
+    from inklayer_tpu.models.gdino.vl_utils import create_positive_map
+
+    tok = WordPieceTokenizer()
+    caption = "cat. dog."
+    # spans: 'cat' = [0,3), 'dog' = [5,8)
+    pm = create_positive_map(tok, caption, [(0, 3), (5, 8)], max_text_len=16)
+    assert pm.shape == (2, 16)
+    ids = tok.encode(caption, 16)
+    # token 1 = cat, token 3 = dog ([CLS] cat . dog . [SEP])
+    assert pm[0, 1] == 1.0 and pm[0].sum() == 1.0
+    assert pm[1, 3] == 1.0 and pm[1].sum() == 1.0
+
+
+def test_silog_loss():
+    import jax.numpy as jnp
+
+    from inklayer_tpu.parallel.train import silog_loss
+
+    pred = jnp.full((8, 8), 2.0)
+    tgt = jnp.full((8, 8), 2.0)
+    valid = jnp.ones((8, 8), bool)
+    assert float(silog_loss(pred, tgt, valid)) < 1e-5
+    worse = float(silog_loss(pred * 3, tgt, valid))
+    assert worse > 0.1
