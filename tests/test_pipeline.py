@@ -90,3 +90,22 @@ def test_pipeline_rerun_overwrites(pipeline, sketch_file, tmp_path):
     out2 = pipeline.run(sketch_file, str(tmp_path / "out3"))
     assert out1 == out2
     assert not os.path.exists(marker)  # reference wipes pre-existing out dir
+
+
+def test_pipeline_nonsquare_image(pipeline, tmp_path):
+    """Non-square input exercises the pad-mask / valid-ratio paths."""
+    g = np.full((64, 120, 3), 255, np.uint8)
+    g[10:50, 10:13] = 0
+    g[10:13, 10:60] = 0
+    g[47:50, 10:60] = 0
+    g[10:50, 57:60] = 0
+    path = tmp_path / "wide.png"
+    Image.fromarray(g).save(path)
+    out_dir = pipeline.run(str(path), str(tmp_path / "out_wide"))
+    masks = sorted(os.listdir(os.path.join(out_dir, "masks")))
+    if masks:
+        m = np.asarray(Image.open(os.path.join(out_dir, "masks", masks[0])))
+        assert m.shape == (64, 120)
+    with open(os.path.join(out_dir, "bboxes.json")) as f:
+        data = json.load(f)
+    assert all(len(b) == 4 for b in data["bboxes"])
