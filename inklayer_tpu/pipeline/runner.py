@@ -53,6 +53,40 @@ class InkLayerPipeline:
         self.inpainter = inpainter
         self.cfg = cfg
         self.stage_times = StageTimes()
+        # stage-level software pipelining (BASELINE config 2): host-side
+        # finalisation (packed mask readback + PNG writes + colorization)
+        # runs on writer threads so the device can start the next image.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._writer = ThreadPoolExecutor(max_workers=2)
+        self._pending: List = []
+        self.async_io = False
+
+    def _submit(self, fn, *args):
+        if self.async_io:
+            self._pending.append(self._writer.submit(fn, *args))
+        else:
+            fn(*args)
+
+    def drain(self):
+        """Wait for all outstanding host-side writes."""
+        for f in self._pending:
+            f.result()
+        self._pending.clear()
+
+    def run_dir(self, paths, out_base_dir: str, no_intermediate: bool = False,
+                inpaint: bool = False):
+        """Directory sweep with host-IO/device overlap: image i's PNG
+        output-contract work runs on writer threads while image i+1 is on
+        device (the reference processes strictly sequentially)."""
+        self.async_io = True
+        try:
+            outs = [self.run(p, out_base_dir, no_intermediate, inpaint)
+                    for p in paths]
+        finally:
+            self.drain()
+            self.async_io = False
+        return outs
 
     # ------------------------------------------------------------------
     def run(self, input_path: str, out_base_dir: str,
@@ -100,10 +134,14 @@ class InkLayerPipeline:
         else:
             masks_dev = jnp.zeros((0, h, w), bool)
         self.stage_times.add("segment", time.perf_counter() - t0)
-        masks = masks_to_host(masks_dev)  # packed transfer, PNG contract only
-        io_out.save_masks_dir(masks, os.path.join(out_dir, "masks"))
-        seg = color_sketch_by_masks(image, list(masks))
-        Image.fromarray(seg).save(os.path.join(out_dir, "segmented_sketch.png"))
+        def write_sam_outputs(masks_dev_):
+            masks = masks_to_host(masks_dev_)  # packed transfer
+            io_out.save_masks_dir(masks, os.path.join(out_dir, "masks"))
+            seg = color_sketch_by_masks(image, list(masks))
+            Image.fromarray(seg).save(
+                os.path.join(out_dir, "segmented_sketch.png"))
+
+        self._submit(write_sam_outputs, masks_dev)
 
         # ---- mask cleaning (device) --------------------------------------
         from inklayer_tpu.pipeline.refine.mask_cleaner import clean_masks_device
@@ -111,8 +149,10 @@ class InkLayerPipeline:
         t0 = time.perf_counter()
         cleaned_dev = clean_masks_device(masks_dev, cfg.refine)
         self.stage_times.add("clean", time.perf_counter() - t0)
-        cleaned = masks_to_host(cleaned_dev)
-        io_out.save_masks_dir(cleaned, os.path.join(out_dir, "masks_cleaned"))
+        self._submit(
+            lambda cd: io_out.save_masks_dir(
+                masks_to_host(cd), os.path.join(out_dir, "masks_cleaned")),
+            cleaned_dev)
 
         # ---- sketch NMS (IoU matrix on device) ---------------------------
         # mmdetection alt path: prefer mmdet_out/*.json boxes when present
@@ -172,17 +212,22 @@ class InkLayerPipeline:
             gray, cfg.refine)
         self.stage_times.add("refine", time.perf_counter() - t0)
 
-        io_out.save_masks_dir(masks_to_host(disjoint_dev),
-                              os.path.join(out_dir, "masks_disjoint"))
-        final_masks = masks_to_host(final_dev)
-        io_out.save_masks_dir(final_masks, os.path.join(out_dir, "masks_final"))
-        io_out.save_depth_map(depth, os.path.join(out_dir, "depth_map.png"))
-        final_seg = color_sketch_by_masks(image, list(final_masks))
-        Image.fromarray(final_seg).save(
-            os.path.join(out_dir, "segmented_sketch_final.png"))
+        def write_final_outputs(disjoint_dev_, final_dev_, depth_):
+            io_out.save_masks_dir(masks_to_host(disjoint_dev_),
+                                  os.path.join(out_dir, "masks_disjoint"))
+            final_masks = masks_to_host(final_dev_)
+            io_out.save_masks_dir(final_masks,
+                                  os.path.join(out_dir, "masks_final"))
+            io_out.save_depth_map(depth_, os.path.join(out_dir, "depth_map.png"))
+            final_seg = color_sketch_by_masks(image, list(final_masks))
+            Image.fromarray(final_seg).save(
+                os.path.join(out_dir, "segmented_sketch_final.png"))
+
+        self._submit(write_final_outputs, disjoint_dev, final_dev, depth)
 
         # ---- inpainting ---------------------------------------------------
         if inpaint:
+            self.drain()  # the inpainter reads masks_final from disk
             if self.inpainter is None:
                 print("Inpainting requested but no inpainter is configured; "
                       "skipping (provide diffusion weights to enable).")
@@ -192,5 +237,6 @@ class InkLayerPipeline:
                 self.stage_times.add("inpaint", time.perf_counter() - t0)
 
         if no_intermediate:
+            self.drain()  # all writes to this dir must land before cleanup
             io_out.cleanup_intermediate(out_dir)
         return out_dir

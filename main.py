@@ -58,9 +58,16 @@ def main():
         print("no input images found", file=sys.stderr)
         sys.exit(1)
 
-    for p in paths:
-        out = pipeline.run(p, args.out_dir, args.no_intermediate, args.inpaint)
-        print(f"{p} -> {out}")
+    if len(paths) > 1:
+        # directory sweep: host IO overlaps the next image's device work
+        outs = pipeline.run_dir(paths, args.out_dir, args.no_intermediate,
+                                args.inpaint)
+        for p, out in zip(paths, outs):
+            print(f"{p} -> {out}")
+    else:
+        out = pipeline.run(paths[0], args.out_dir, args.no_intermediate,
+                           args.inpaint)
+        print(f"{paths[0]} -> {out}")
     print("stage times (s):",
           {k: round(v, 2) for k, v in pipeline.stage_times.times.items()})
 

@@ -109,3 +109,22 @@ def test_pipeline_nonsquare_image(pipeline, tmp_path):
     with open(os.path.join(out_dir, "bboxes.json")) as f:
         data = json.load(f)
     assert all(len(b) == 4 for b in data["bboxes"])
+
+
+def test_run_dir_async_io(pipeline, tmp_path):
+    """Pipelined sweep produces the same contract as sequential runs."""
+    paths = []
+    for i in range(2):
+        g = np.full((96, 96, 3), 255, np.uint8)
+        g[10 + i * 5:40, 10:13] = 0
+        g[50:80, 50:80] = 30
+        p = tmp_path / f"s{i}.png"
+        Image.fromarray(g).save(p)
+        paths.append(str(p))
+    outs = pipeline.run_dir(paths, str(tmp_path / "sweep"))
+    assert len(outs) == 2
+    for out in outs:
+        for item in EXPECTED_LAYOUT:
+            assert os.path.exists(os.path.join(out, item)), (out, item)
+    assert not pipeline._pending
+    assert pipeline.async_io is False
