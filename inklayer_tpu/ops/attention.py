@@ -41,21 +41,26 @@ def sdpa(
     bias: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,
     scale: Optional[float] = None,
+    softmax_dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
     """Reference attention. q: (..., Nq, D), k/v: (..., Nk, D).
 
     bias: additive, broadcastable to (..., Nq, Nk).
     mask: boolean, True = attend, broadcastable to (..., Nq, Nk).
-    Softmax in fp32 regardless of input dtype.
+    softmax_dtype: fp32 by default; bf16 halves logit/prob HBM traffic when
+    the caller's tolerance allows (jax softmax subtracts the max first, so
+    bf16 is stable).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    logits = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32)
-    logits = logits * scale
+    logits = jnp.einsum("...qd,...kd->...qk", q, k,
+                        preferred_element_type=softmax_dtype)
+    logits = logits * jnp.asarray(scale, softmax_dtype)
     if bias is not None:
-        logits = logits + bias.astype(jnp.float32)
+        logits = logits + bias.astype(softmax_dtype)
     if mask is not None:
-        logits = jnp.where(mask, logits, _NEG_INF)
+        # -1e30 is representable in bf16 (same exponent range as fp32)
+        logits = jnp.where(mask, logits, jnp.asarray(_NEG_INF, softmax_dtype))
     probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum(
         "...qk,...kd->...qd", probs.astype(v.dtype), v,
