@@ -56,3 +56,21 @@ def test_impl_dispatch(rng):
     a = ms_deform_attn(value, shapes, locs, wts, impl="gather")
     b = ms_deform_attn(value, shapes, locs, wts, impl="dense")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pallas_impl_matches_oracle_interpret(rng):
+    from inklayer_tpu.ops.deformable import _ms_deform_attn_pallas
+
+    b, heads, d = 1, 2, 8
+    shapes = ((10, 12), (5, 6))
+    n_tokens = sum(h * w for h, w in shapes)
+    lq, n_points = 9, 2
+    value = rng.standard_normal((b, n_tokens, heads, d)).astype(np.float32)
+    locs = rng.uniform(-0.2, 1.2, (b, lq, heads, len(shapes), n_points, 2)
+                       ).astype(np.float32)
+    wts = rng.random((b, lq, heads, len(shapes), n_points)).astype(np.float32)
+    out = _ms_deform_attn_pallas(jnp.asarray(value), shapes, jnp.asarray(locs),
+                                 jnp.asarray(wts), block_q=8, interpret=True)
+    ref = ms_deform_attn_ref(value, shapes, locs, wts)
+    # kernel uses bf16 weight/value matmuls by design
+    np.testing.assert_allclose(np.asarray(out), ref, atol=0.05, rtol=0.05)
