@@ -95,7 +95,7 @@ class GEGLUFeedForward(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim * 8, dtype=self.dtype, name="proj_in")(x)
         a, g = jnp.split(h, 2, axis=-1)
-        h = a * nn.gelu(g)
+        h = a * nn.gelu(g, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
 
 

@@ -160,10 +160,10 @@ class MaskDecoder(nn.Module):
         x = nn.ConvTranspose(self.transformer_dim // 4, (2, 2), strides=(2, 2),
                              dtype=self.dtype, name="upscale_conv1")(x)
         x = LayerNorm(dtype=self.dtype, name="upscale_ln")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.ConvTranspose(self.transformer_dim // 8, (2, 2), strides=(2, 2),
                              dtype=self.dtype, name="upscale_conv2")(x)
-        upscaled = nn.gelu(x)  # (b, 4h, 4w, C/8)
+        upscaled = nn.gelu(x, approximate=False)  # (b, 4h, 4w, C/8)
 
         hyper_in = jnp.stack(
             [

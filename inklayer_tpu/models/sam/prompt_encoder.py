@@ -106,8 +106,8 @@ class PromptEncoder(nn.Module):
 
     def embed_masks(self, masks: jax.Array) -> jax.Array:
         """masks: (B, 4*H, 4*W, 1) -> (B, H, W, embed_dim)."""
-        x = nn.gelu(self.mask_ln1(self.mask_conv1(masks.astype(self.dtype))))
-        x = nn.gelu(self.mask_ln2(self.mask_conv2(x)))
+        x = nn.gelu(self.mask_ln1(self.mask_conv1(masks.astype(self.dtype))), approximate=False)
+        x = nn.gelu(self.mask_ln2(self.mask_conv2(x)), approximate=False)
         return self.mask_conv3(x)
 
     def no_mask_dense(self, batch: int) -> jax.Array:

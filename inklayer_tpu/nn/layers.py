@@ -15,12 +15,18 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def gelu_exact(x):
+    """erf-based GELU (torch nn.GELU default; flax's default is the tanh
+    approximation, which costs ~1e-3 parity error per layer)."""
+    return nn.gelu(x, approximate=False)
+
+
 class MLP(nn.Module):
     """Transformer feed-forward: Linear -> act -> Linear."""
 
     hidden_dim: int
     out_dim: int
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

@@ -1,0 +1,109 @@
+"""Numerical parity of the from-scratch BERT encoder against HuggingFace's
+torch BertModel with converted weights — the only reference model whose torch
+implementation is importable in this environment (timm/torchvision absent
+block the vision towers; this pins down the text side exactly)."""
+
+import numpy as np
+import pytest
+import torch
+
+jnp = pytest.importorskip("jax.numpy")
+import jax
+
+from inklayer_tpu.config import BertConfig
+from inklayer_tpu.io import weights as W
+from inklayer_tpu.models.gdino.bert import BertEncoder
+
+
+@pytest.fixture(scope="module")
+def hf_bert():
+    from transformers import BertConfig as HFConfig, BertModel
+
+    cfg = HFConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=24, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    model = BertModel(cfg)
+    model.eval()
+    return model, cfg
+
+
+def test_bert_matches_huggingface(hf_bert, tmp_path, rng):
+    hf, hf_cfg = hf_bert
+    sd = {f"bert.{k}": v for k, v in hf.state_dict().items()}
+    path = str(tmp_path / "bert.pth")
+    torch.save(sd, path)
+
+    cfg = BertConfig(
+        vocab_size=120, hidden_size=32, num_layers=2, num_heads=2,
+        intermediate_size=64, max_position_embeddings=24)
+    model = BertEncoder(cfg)
+    ids = np.asarray([[2, 7, 19, 55, 99, 3]], np.int64)
+    n = ids.shape[1]
+    attn2d = np.ones((1, n), np.int64)
+    pos = np.arange(n)[None]
+
+    # convert through the GDINO rule table (bert.* subset)
+    raw = W.load_torch_state_dict(path)
+    flat, _ = W.convert_state_dict(
+        raw, W.GDINO_RULES, strict=True, ignore=W.GDINO_IGNORE)
+    tree = W.tree_from_paths(flat)["bert"]
+    template = jax.eval_shape(
+        lambda k: model.init(k, jnp.asarray(ids, jnp.int32),
+                             jnp.ones((1, n, n), bool),
+                             jnp.asarray(pos, jnp.int32)), jax.random.key(0))
+    params = W.fill_params(template, {"params": tree})
+
+    ours = model.apply(params, jnp.asarray(ids, jnp.int32),
+                       jnp.ones((1, n, n), bool), jnp.asarray(pos, jnp.int32))
+    with torch.no_grad():
+        theirs = hf(input_ids=torch.tensor(ids),
+                    attention_mask=torch.tensor(attn2d)).last_hidden_state
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_bert_subsentence_mask_matches_hf_blockdiag(hf_bert, tmp_path):
+    """With GDINO's block-diagonal span mask, each span's output must equal
+    running HF on the span alone (position ids restart per span)."""
+    from inklayer_tpu.models.gdino.bert import subsentence_masks
+
+    hf, _ = hf_bert
+    sd = {f"bert.{k}": v for k, v in hf.state_dict().items()}
+    path = str(tmp_path / "bert2.pth")
+    torch.save(sd, path)
+    cfg = BertConfig(vocab_size=120, hidden_size=32, num_layers=2,
+                     num_heads=2, intermediate_size=64,
+                     max_position_embeddings=24)
+    model = BertEncoder(cfg)
+    # [CLS] w w . w w [SEP] with bert special ids
+    ids = np.asarray([[101, 7, 9, 1012, 11, 13, 102]], np.int64)
+    # clamp to tiny vocab: replace special ids by in-range markers but keep
+    # the span structure by building masks from the ORIGINAL ids
+    attn, pos = subsentence_masks(ids)
+    small_ids = np.asarray([[1, 7, 9, 4, 11, 13, 2]], np.int64)
+
+    raw = W.load_torch_state_dict(path)
+    flat, _ = W.convert_state_dict(raw, W.GDINO_RULES, strict=True,
+                                   ignore=W.GDINO_IGNORE)
+    tree = W.tree_from_paths(flat)["bert"]
+    n = ids.shape[1]
+    template = jax.eval_shape(
+        lambda k: model.init(k, jnp.asarray(small_ids, jnp.int32),
+                             jnp.asarray(attn), jnp.asarray(pos, jnp.int32)),
+        jax.random.key(0))
+    params = W.fill_params(template, {"params": tree})
+    ours = np.asarray(model.apply(
+        params, jnp.asarray(small_ids, jnp.int32), jnp.asarray(attn),
+        jnp.asarray(pos, jnp.int32)))
+
+    # span 1 = tokens 1..3 (w w .) with fresh positions 0..2: HF on just
+    # that sub-sequence must match those rows
+    with torch.no_grad():
+        sub = hf(input_ids=torch.tensor(small_ids[:, 1:4]),
+                 attention_mask=torch.ones(1, 3, dtype=torch.long),
+                 position_ids=torch.arange(3)[None]).last_hidden_state
+    np.testing.assert_allclose(ours[0, 1:4], sub.numpy()[0], atol=2e-5,
+                               rtol=1e-4)
