@@ -7,9 +7,9 @@ DepthAnythingV2.forward + image2tensor) and ``util/blocks.py:4-148``
 
 TPU-first: NHWC; the cv2-based host transform (Resize lower-bound 518,
 multiple-of-14, INTER_CUBIC + ImageNet normalise) becomes one on-device op
-with static bucketed output shapes; bilinear upsamples use align-corners
-semantics via jax.image.scale_and_translate-free resize (jax bilinear is
-half-pixel; the difference is sub-pixel and inside mask-IoU tolerance).
+with static bucketed output shapes; all bilinear upsamples use exact
+align_corners=True semantics (ops/image.resize_align_corners) matching the
+reference — parity-tested against its torch implementation.
 """
 
 from __future__ import annotations
@@ -23,7 +23,7 @@ from flax import linen as nn
 
 from inklayer_tpu.config import DepthConfig
 from inklayer_tpu.models.depth.dinov2 import DinoVisionTransformer
-from inklayer_tpu.ops.image import resize
+from inklayer_tpu.ops.image import resize, resize_align_corners
 
 # [0,1]-scale ImageNet stats (util/transform.py NormalizeImage)
 DEPTH_MEAN = (0.485, 0.456, 0.406)
@@ -58,8 +58,8 @@ class FeatureFusionBlock(nn.Module):
                              name="resConfUnit2")(x)
         if out_hw is None:
             out_hw = (x.shape[1] * 2, x.shape[2] * 2)
-        x = jax.image.resize(
-            x, (x.shape[0],) + tuple(out_hw) + (x.shape[-1],), "bilinear")
+        # reference interpolates with align_corners=True (util/blocks.py:144)
+        x = resize_align_corners(x, tuple(out_hw))
         return nn.Conv(self.features, (1, 1), dtype=self.dtype,
                        name="out_conv")(x)
 
@@ -107,9 +107,8 @@ class DPTHead(nn.Module):
 
         x = nn.Conv(c.features // 2, (3, 3), padding=1, dtype=self.dtype,
                     name="output_conv1")(p1)
-        x = jax.image.resize(
-            x, (x.shape[0], ph * c.patch_size, pw * c.patch_size, x.shape[-1]),
-            "bilinear")
+        # align_corners=True (dpt.py:147)
+        x = resize_align_corners(x, (ph * c.patch_size, pw * c.patch_size))
         x = nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
                     name="output_conv2_0")(x)
         x = nn.relu(x)
@@ -145,8 +144,9 @@ def depth_bucket(h: int, w: int, cfg: DepthConfig) -> Tuple[int, int]:
     nh, nw = min(nh, cap), min(nw, cap)
     nh = max(nh, cfg.input_size)
     nw = max(nw, cfg.input_size)
-    # snap to 70px grid above the base size to bound bucket count
-    snap = 70  # 5 patches
+    # snap to a coarse grid above the base size to bound bucket count (each
+    # new bucket costs a ~30s+ depth-model compile through the tunnel)
+    snap = 140  # 10 patches
     nh = cfg.input_size + ((nh - cfg.input_size + snap - 1) // snap) * snap
     nw = cfg.input_size + ((nw - cfg.input_size + snap - 1) // snap) * snap
     return min(nh, cap + snap), min(nw, cap + snap)
@@ -170,5 +170,6 @@ class DepthEstimator:
         x = (x - jnp.asarray(DEPTH_MEAN)) / jnp.asarray(DEPTH_STD)
         x = resize(x, (bh, bw), "bicubic", antialias=True)
         depth = self._jit(self.params, x[None])[0]
-        out = resize(depth[..., None], (h, w), "bilinear", antialias=False)
+        # F.interpolate(..., align_corners=True) in infer_image (dpt.py:190)
+        out = resize_align_corners(depth[None, ..., None], (h, w))[0]
         return np.asarray(out[..., 0])

@@ -68,6 +68,28 @@ def resize(image: jax.Array, out_hw: Tuple[int, int], method: str = "bilinear",
     return jax.image.resize(image, out_shape, method=method, antialias=antialias)
 
 
+def resize_align_corners(x: jax.Array, out_hw: Tuple[int, int],
+                         spatial_dims: Tuple[int, int] = (1, 2)) -> jax.Array:
+    """Bilinear resize with torch align_corners=True semantics:
+    in_pos = out_pos * (in-1)/(out-1).  jax.image.resize is half-pixel
+    (align_corners=False); the DPT head and Depth-Anything's final
+    interpolation use align_corners=True, which differs enough to break
+    parity.  Expressed via scale_and_translate: scale s = (out-1)/(in-1),
+    translation 0.5 - 0.5*s."""
+    d0, d1 = spatial_dims
+    in_h, in_w = x.shape[d0], x.shape[d1]
+    out_h, out_w = out_hw
+    sh = (out_h - 1) / max(in_h - 1, 1) if out_h > 1 else 1.0
+    sw = (out_w - 1) / max(in_w - 1, 1) if out_w > 1 else 1.0
+    out_shape = list(x.shape)
+    out_shape[d0], out_shape[d1] = out_h, out_w
+    return jax.image.scale_and_translate(
+        x, tuple(out_shape), (d0, d1),
+        jnp.asarray([sh, sw], jnp.float32),
+        jnp.asarray([0.5 - 0.5 * sh, 0.5 - 0.5 * sw], jnp.float32),
+        method="bilinear", antialias=False)
+
+
 def pick_bucket(h: int, w: int, buckets: Sequence[Tuple[int, int]],
                 scale_mode: str = "shortest") -> Tuple[int, int]:
     """Choose the bucket whose aspect ratio is closest to the image's.
