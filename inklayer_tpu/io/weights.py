@@ -563,6 +563,9 @@ GDINO_RULES = [
 
 GDINO_IGNORE = [
     r"bert\.pooler\..*",
+    # recomputed-constant buffers in the Swin checkpoint
+    r"backbone\.0\..*relative_position_index",
+    r"backbone\.0\..*attn_mask",
     r"bert\.embeddings\.position_ids",
     r"bbox_embed\.[1-9]\..*",  # shared copies of bbox_embed.0
     r"transformer\.decoder\.bbox_embed\..*",  # same shared object

@@ -96,8 +96,10 @@ class BiAttentionBlock(nn.Module):
         gamma_l = self.param("gamma_l",
                              nn.initializers.constant(self.init_values),
                              (self.l_dim,))
-        # droppath is identity at inference (fusion_droppath=.1 train-only)
-        return v + gamma_v * dv, l + gamma_l * dl
+        # NOTE: the reference's residual base is the NORMALIZED input
+        # (fuse_modules.py:287-293: v = layer_norm_v(v); v = v + gamma*dv) —
+        # not the raw input. droppath is identity at inference.
+        return vn + gamma_v * dv, ln + gamma_l * dl
 
 
 class TextEnhancerLayer(nn.Module):
