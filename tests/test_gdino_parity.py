@@ -129,3 +129,57 @@ def test_ms_deform_attn_vs_reference_torch(rng):
     ours = ms_deform_attn(jnp.asarray(value), shapes, jnp.asarray(locs),
                           jnp.asarray(wts), impl="gather")
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5, rtol=1e-4)
+
+
+def test_text_enhancer_parity(tmp_path, rng):
+    """TransformerEncoderLayer (text enhancer) parity — validates the packed
+    nn.MultiheadAttention in_proj -> q/k/v split conversion and the post-norm
+    layer math, including GDINO's inverted-mask convention."""
+    if not os.path.isdir(GD):
+        pytest.skip("reference not mounted")
+    _stub_timm()
+    pkg = types.ModuleType("refgd")
+    pkg.__path__ = [GD]
+    sys.modules["refgd"] = pkg
+    _load("refgd.utils", "utils.py")
+    tv = _load("refgd.transformer_vanilla", "transformer_vanilla.py")
+
+    from inklayer_tpu.models.gdino.fusion import TextEnhancerLayer
+
+    torch.manual_seed(0)
+    ref = tv.TransformerEncoderLayer(d_model=16, nhead=2, dim_feedforward=32,
+                                     dropout=0.0)
+    ref.eval()
+    sd = {f"transformer.encoder.text_layers.0.{k}": v
+          for k, v in ref.state_dict().items()}
+    path = str(tmp_path / "text.pth")
+    torch.save(sd, path)
+    raw = W.load_torch_state_dict(path)
+    flat, unmatched = W.convert_state_dict(raw, W.GDINO_RULES, strict=True)
+    assert not unmatched
+    flat = W._split_in_proj(flat, 0)
+    tree = W.tree_from_paths(flat)["transformer"]["enc_text_0"]
+
+    ours = TextEnhancerLayer(d_model=16, num_heads=2, ffn_dim=32)
+    x = rng.standard_normal((1, 6, 16)).astype(np.float32)
+    pos = rng.standard_normal((1, 6, 16)).astype(np.float32)
+    # block-diagonal span mask, True = attend (our convention)
+    allow = np.zeros((1, 6, 6), bool)
+    allow[0, :3, :3] = True
+    allow[0, 3:, 3:] = True
+    template = jax.eval_shape(
+        lambda k: ours.init(k, jnp.asarray(x), jnp.asarray(pos),
+                            jnp.asarray(allow)), jax.random.key(0))
+    params = W.fill_params(template, {"params": tree})
+    out = ours.apply(params, jnp.asarray(x), jnp.asarray(pos),
+                     jnp.asarray(allow))
+
+    with torch.no_grad():
+        # reference: seq-first layout, src_mask True = BLOCKED (~allow),
+        # repeated per head inside the layer
+        ref_out = ref(torch.tensor(x.transpose(1, 0, 2)),
+                      src_mask=torch.tensor(~allow),
+                      pos=torch.tensor(pos.transpose(1, 0, 2)))
+    np.testing.assert_allclose(np.asarray(out),
+                               ref_out.numpy().transpose(1, 0, 2),
+                               atol=2e-5, rtol=1e-4)
