@@ -160,7 +160,10 @@ class DepthEstimator:
         self.cfg = cfg
         self.model = DepthAnythingV2(cfg, dtype=dtype)
         self.params = params
-        self._jit = jax.jit(lambda p, x: self.model.apply(p, x))
+        from inklayer_tpu.io.aotcache import cached_jit
+
+        self._jit = cached_jit(lambda p, x: self.model.apply(p, x),
+                               name="depth_infer")
 
     def infer_image(self, image: np.ndarray) -> np.ndarray:
         """image: (H, W, 3) uint8 RGB -> (H, W) float32 relative depth."""

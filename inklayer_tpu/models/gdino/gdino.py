@@ -126,7 +126,9 @@ class GDinoDetector:
         self.params = params
         self.model = GroundingDINO(cfg, dtype=dtype)
         self.tokenizer = WordPieceTokenizer(vocab_path)
-        self._jit = jax.jit(self._forward)
+        from inklayer_tpu.io.aotcache import cached_jit
+
+        self._jit = cached_jit(self._forward, name="gdino_detect")
         self._text_cache = {}
 
     def _forward(self, params, image, pad_mask, input_ids, attn_mask, pos_ids):

@@ -100,11 +100,15 @@ class SamPredictor:
         self._input_hw = None  # size of valid (non-pad) region in model space
         self._orig_hw = None
 
-        self._encode = jax.jit(
-            lambda p, img: self.model.apply(p, img, method=Sam.encode))
-        self._decode = jax.jit(
+        from inklayer_tpu.io.aotcache import cached_jit
+
+        self._encode = cached_jit(
+            lambda p, img: self.model.apply(p, img, method=Sam.encode),
+            name="sam_encode")
+        self._decode = cached_jit(
             lambda p, emb, boxes: self.model.apply(
-                p, emb, boxes, method=Sam.decode_boxes))
+                p, emb, boxes, method=Sam.decode_boxes),
+            name="sam_decode")
 
     # -- image ------------------------------------------------------------
     def set_image(self, image: np.ndarray) -> None:

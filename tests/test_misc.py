@@ -67,3 +67,13 @@ def test_export_sam_decoder_roundtrip(tmp_path, rng):
     out_logits, out_iou = restored.call(emb, boxes)
     np.testing.assert_allclose(np.asarray(out_logits),
                                np.asarray(direct_logits), atol=1e-5)
+
+
+def test_cached_jit_cpu_passthrough(tmp_path, rng):
+    """On CPU the cache is bypassed (plain jit); behavior identical."""
+    from inklayer_tpu.io.aotcache import cached_jit
+
+    f = cached_jit(lambda a, b: a @ b, name="t", cache_dir=str(tmp_path))
+    a = jnp.ones((4, 4))
+    np.testing.assert_allclose(np.asarray(f(a, a)), 4 * np.ones((4, 4)))
+    assert not list(tmp_path.iterdir())  # nothing written on CPU
