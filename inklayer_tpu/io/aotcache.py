@@ -28,7 +28,12 @@ DEFAULT_CACHE_DIR = os.environ.get(
 
 
 def _enabled() -> bool:
-    return os.environ.get("INKLAYER_AOT_CACHE", "1") != "0"
+    # Default OFF: in THIS environment the serialized executables are large
+    # (300-430MB — they embed program constants) and the tunnel moves
+    # ~1.4MB/s, so loading is slower than the terminal-side remote compile.
+    # On a normal TPU VM (local PJRT), set INKLAYER_AOT_CACHE=1 and cold
+    # starts drop from minutes to seconds (cross-process load verified).
+    return os.environ.get("INKLAYER_AOT_CACHE", "0") == "1"
 
 
 def _sig(args, kwargs) -> Tuple:
