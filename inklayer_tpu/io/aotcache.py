@@ -23,7 +23,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 
 DEFAULT_CACHE_DIR = os.environ.get(
-    "INKLAYER_AOT_CACHE",
+    "INKLAYER_AOT_CACHE_DIR",
     os.path.expanduser("~/.cache/inklayer_tpu_exec"))
 
 
