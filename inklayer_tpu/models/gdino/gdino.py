@@ -16,7 +16,6 @@ compiles once per bucket.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

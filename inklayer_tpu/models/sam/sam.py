@@ -17,7 +17,6 @@ TPU-first design differences from the reference:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -171,9 +171,6 @@ def flash_attention(
     grid = (b, nq_p // bq)
 
     q_spec = pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, None, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
-    out_spec = q_spec
-
     if rel_h is not None:
         assert rel_w is not None and kh * kw == nk, (kh, kw, nk)
         rh_p = _pad_to(rel_h, 1, bq)
