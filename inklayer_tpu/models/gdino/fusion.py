@@ -29,9 +29,12 @@ class BiMultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, v, l, attention_mask_l: Optional[jax.Array] = None):
+    def __call__(self, v, l, attention_mask_l: Optional[jax.Array] = None,
+                 vision_pad_mask: Optional[jax.Array] = None):
         """v: (B, Nv, v_dim) vision; l: (B, Nl, l_dim) text;
-        attention_mask_l: (B, Nl) bool, True = real token.
+        attention_mask_l: (B, Nl) bool, True = real token;
+        vision_pad_mask: (B, Nv) bool, True = padded image position (masked
+        out of the text->vision direction, fuse_modules.py:204-209).
         Returns (delta_v, delta_l)."""
         b, nv, _ = v.shape
         nl = l.shape[1]
@@ -58,6 +61,9 @@ class BiMultiHeadAttention(nn.Module):
         logits_t = logits_t - jax.lax.stop_gradient(
             jnp.max(logits_t, axis=-1, keepdims=True))
         logits_t = jnp.clip(logits_t, -_CLAMP, _CLAMP)
+        if vision_pad_mask is not None:
+            logits_t = jnp.where(vision_pad_mask[:, None, None, :], -jnp.inf,
+                                 logits_t)
         attn_l = jax.nn.softmax(logits_t, axis=-1)
 
         # vision->text direction: mask padded text then softmax over text axis
@@ -84,12 +90,14 @@ class BiAttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, v, l, attention_mask_l: Optional[jax.Array] = None):
+    def __call__(self, v, l, attention_mask_l: Optional[jax.Array] = None,
+                 vision_pad_mask: Optional[jax.Array] = None):
         vn = LayerNorm(dtype=self.dtype, name="layer_norm_v")(v)
         ln = LayerNorm(dtype=self.dtype, name="layer_norm_l")(l)
         dv, dl = BiMultiHeadAttention(
             self.v_dim, self.l_dim, self.embed_dim, self.num_heads,
-            dtype=self.dtype, name="attn")(vn, ln, attention_mask_l)
+            dtype=self.dtype, name="attn")(vn, ln, attention_mask_l,
+                                           vision_pad_mask)
         gamma_v = self.param("gamma_v",
                              nn.initializers.constant(self.init_values),
                              (self.v_dim,))

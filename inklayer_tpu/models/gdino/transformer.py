@@ -348,7 +348,8 @@ class GDinoTransformer(nn.Module):
             memory, memory_text = BiAttentionBlock(
                 c.hidden_dim, c.hidden_dim, c.fusion_embed_dim,
                 c.fusion_nheads, dtype=self.dtype,
-                name=f"enc_fusion_{i}")(memory, memory_text, text_token_mask)
+                name=f"enc_fusion_{i}")(memory, memory_text, text_token_mask,
+                                        vision_pad_mask=mask_flat)
             memory_text = TextEnhancerLayer(
                 c.hidden_dim, c.text_enhancer_nheads, c.text_enhancer_ffn,
                 dtype=self.dtype, name=f"enc_text_{i}")(

@@ -82,16 +82,20 @@ def test_bi_attention_block_parity(ref_fuse, tmp_path, rng):
     v = rng.standard_normal((1, 11, 16)).astype(np.float32)
     l = rng.standard_normal((1, 5, 16)).astype(np.float32)
     lmask = np.asarray([[True, True, True, True, False]])
+    vpad = np.zeros((1, 11), bool)
+    vpad[0, 8:] = True  # padded image positions
     template = jax.eval_shape(
         lambda k: ours.init(k, jnp.asarray(v), jnp.asarray(l),
-                            jnp.asarray(lmask)), jax.random.key(0))
+                            jnp.asarray(lmask), jnp.asarray(vpad)),
+        jax.random.key(0))
     params = W.fill_params(template, {"params": tree})
 
     ours_v, ours_l = ours.apply(params, jnp.asarray(v), jnp.asarray(l),
-                                jnp.asarray(lmask))
+                                jnp.asarray(lmask), jnp.asarray(vpad))
     with torch.no_grad():
         # reference attention_mask_l semantics: True = masked-out pad
         ref_v, ref_l = ref(torch.tensor(v), torch.tensor(l),
+                           attention_mask_v=torch.tensor(vpad),
                            attention_mask_l=torch.tensor(~lmask))
     np.testing.assert_allclose(np.asarray(ours_v), ref_v.numpy(), atol=2e-5,
                                rtol=1e-4)
