@@ -677,6 +677,42 @@ def _tx_rules(prefix_t: str, prefix_f: str):
     return rules
 
 
+def _tx_rules_deep(prefix_t: str, prefix_f: str):
+    """Transformer2DModel with SEVERAL BasicTransformerBlocks and LINEAR
+    proj_in/proj_out (SDXL, use_linear_projection=True).  Our flax module
+    names the inner blocks ``block_{d}`` (unet.py TransformerBlock2D)."""
+    tb = rf"{prefix_t}\.transformer_blocks\.(\d+)"
+    bf = rf"{prefix_f}/block_\1"
+    rules = [
+        Rule(rf"{prefix_t}\.norm\.weight", rf"{prefix_f}/norm/scale"),
+        Rule(rf"{prefix_t}\.norm\.bias", rf"{prefix_f}/norm/bias"),
+        Rule(rf"{prefix_t}\.proj_in\.weight", rf"{prefix_f}/proj_in/kernel",
+             "linear"),
+        Rule(rf"{prefix_t}\.proj_in\.bias", rf"{prefix_f}/proj_in/bias"),
+        Rule(rf"{prefix_t}\.proj_out\.weight", rf"{prefix_f}/proj_out/kernel",
+             "linear"),
+        Rule(rf"{prefix_t}\.proj_out\.bias", rf"{prefix_f}/proj_out/bias"),
+        Rule(rf"{tb}\.ff\.net\.0\.proj\.weight", rf"{bf}/ff/proj_in/kernel",
+             "linear"),
+        Rule(rf"{tb}\.ff\.net\.0\.proj\.bias", rf"{bf}/ff/proj_in/bias"),
+        Rule(rf"{tb}\.ff\.net\.2\.weight", rf"{bf}/ff/proj_out/kernel",
+             "linear"),
+        Rule(rf"{tb}\.ff\.net\.2\.bias", rf"{bf}/ff/proj_out/bias"),
+    ]
+    for a in ("attn1", "attn2"):
+        for p in ("to_q", "to_k", "to_v"):
+            rules.append(Rule(rf"{tb}\.{a}\.{p}\.weight",
+                              rf"{bf}/{a}/{p}/kernel", "linear"))
+        rules.append(Rule(rf"{tb}\.{a}\.to_out\.0\.weight",
+                          rf"{bf}/{a}/to_out/kernel", "linear"))
+        rules.append(Rule(rf"{tb}\.{a}\.to_out\.0\.bias",
+                          rf"{bf}/{a}/to_out/bias"))
+    for n in ("norm1", "norm2", "norm3"):
+        rules.append(Rule(rf"{tb}\.{n}\.weight", rf"{bf}/{n}/scale"))
+        rules.append(Rule(rf"{tb}\.{n}\.bias", rf"{bf}/{n}/bias"))
+    return rules
+
+
 def _unet_core_rules(out_prefix: str = ""):
     """Rules shared by UNet and ControlNet encoders."""
     p = out_prefix
@@ -832,6 +868,63 @@ CLIP_TEXT_RULES = [
     Rule(r"text_model\.final_layer_norm\.bias", r"final_layer_norm/bias"),
 ]
 
+# --------------------------------------------------------------------------
+# SDXL inpainting (diffusers/stable-diffusion-xl-1.0-inpainting-0.1; the
+# reference's alternative pipeline, inpainting/inpaint_SDXL.py:13-35).
+# UNet: blocks (320, 640, 1280), 2 res layers/block, transformer depths
+# (0, 2, 10), linear proj, text_time add-embedding.
+# --------------------------------------------------------------------------
+
+
+def _sdxl_unet_rules(tdepths=(0, 2, 10), layers_per_block=2):
+    rules = [
+        Rule(r"conv_in\.weight", r"conv_in/kernel", "conv"),
+        Rule(r"conv_in\.bias", r"conv_in/bias"),
+        Rule(r"down_blocks\.(\d)\.downsamplers\.0\.conv\.weight",
+             r"down_\1_downsample/kernel", "conv"),
+        Rule(r"down_blocks\.(\d)\.downsamplers\.0\.conv\.bias",
+             r"down_\1_downsample/bias"),
+        Rule(r"up_blocks\.(\d)\.upsamplers\.0\.conv\.weight",
+             r"up_\1_upsample/kernel", "conv"),
+        Rule(r"up_blocks\.(\d)\.upsamplers\.0\.conv\.bias",
+             r"up_\1_upsample/bias"),
+        Rule(r"conv_norm_out\.weight", r"conv_norm_out/scale"),
+        Rule(r"conv_norm_out\.bias", r"conv_norm_out/bias"),
+        Rule(r"conv_out\.weight", r"conv_out/kernel", "conv"),
+        Rule(r"conv_out\.bias", r"conv_out/bias"),
+    ]
+    for emb in ("time_embedding", "add_embedding"):
+        for lin in ("linear_1", "linear_2"):
+            rules.append(Rule(rf"{emb}\.{lin}\.weight",
+                              rf"{emb}/{lin}/kernel", "linear"))
+            rules.append(Rule(rf"{emb}\.{lin}\.bias", rf"{emb}/{lin}/bias"))
+    for i, d in enumerate(tdepths):
+        for j in range(layers_per_block):
+            rules += _resnet_rules(rf"down_blocks\.{i}\.resnets\.{j}",
+                                   rf"down_{i}_resnet_{j}")
+            if d:
+                rules += _tx_rules_deep(rf"down_blocks\.{i}\.attentions\.{j}",
+                                        rf"down_{i}_attn_{j}")
+    rules += _resnet_rules(r"mid_block\.resnets\.0", r"mid_resnet_0")
+    rules += _resnet_rules(r"mid_block\.resnets\.1", r"mid_resnet_1")
+    rules += _tx_rules_deep(r"mid_block\.attentions\.0", r"mid_attn")
+    for i, d in enumerate(reversed(tdepths)):
+        for j in range(layers_per_block + 1):
+            rules += _resnet_rules(rf"up_blocks\.{i}\.resnets\.{j}",
+                                   rf"up_{i}_resnet_{j}")
+            if d:
+                rules += _tx_rules_deep(rf"up_blocks\.{i}\.attentions\.{j}",
+                                        rf"up_{i}_attn_{j}")
+    return rules
+
+
+SDXL_UNET_RULES = _sdxl_unet_rules()
+
+# bigG text tower (text_encoder_2): CLIP layout + pooled text_projection
+SDXL_TEXT_RULES = CLIP_TEXT_RULES + [
+    Rule(r"text_projection\.weight", r"text_projection/kernel", "linear"),
+]
+
 DIFFUSION_IGNORE = [
     r"text_model\.embeddings\.position_ids",
     r".*\.num_batches_tracked",
@@ -865,3 +958,23 @@ def load_vae_params(path, model, example_args):
 
 def load_clip_text_params(path, model, example_args):
     return _load_component(path, CLIP_TEXT_RULES, model, example_args)
+
+
+def load_sdxl_unet_params(path, model, example_args):
+    return _load_component(path, SDXL_UNET_RULES, model, example_args)
+
+
+def load_sdxl_text_params(path, model, example_args):
+    """bigG tower (text_encoder_2): unlike SD1.5's CLIP-L, text_projection is
+    LOADED (it produces the pooled prompt embedding for add_embedding)."""
+    import jax
+
+    sd = load_torch_state_dict(path)
+    flat, _ = convert_state_dict(
+        sd, SDXL_TEXT_RULES, strict=True,
+        ignore=[r"text_model\.embeddings\.position_ids",
+                r".*\.num_batches_tracked"])
+    tree = {"params": tree_from_paths(flat)}
+    template = jax.eval_shape(
+        lambda k: model.init(k, *example_args), jax.random.key(0))
+    return fill_params(template, tree)

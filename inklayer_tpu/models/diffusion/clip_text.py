@@ -34,6 +34,7 @@ def quick_gelu(x):
 class CLIPTextLayer(nn.Module):
     hidden: int = 768
     heads: int = 12
+    act: str = "quick_gelu"  # CLIP-L: quick_gelu; OpenCLIP bigG (SDXL): gelu
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -54,7 +55,11 @@ class CLIPTextLayer(nn.Module):
         x = x + attn
         y = LayerNorm(eps=1e-5, dtype=self.dtype, name="layer_norm2")(x)
         y = nn.Dense(self.hidden * 4, dtype=self.dtype, name="fc1")(y)
-        y = quick_gelu(y)
+        if self.act == "quick_gelu":
+            y = quick_gelu(y)
+        else:
+            from inklayer_tpu.nn.layers import gelu_exact
+            y = gelu_exact(y)
         y = nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(y)
         return x + y
 

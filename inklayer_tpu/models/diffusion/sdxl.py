@@ -63,6 +63,7 @@ class CLIPTextTower(nn.Module):
     heads: int = 20
     max_len: int = 77
     pooled_proj: int = 0  # >0: return projected EOS embedding too
+    act: str = "quick_gelu"  # bigG tower: "gelu"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -78,8 +79,8 @@ class CLIPTextTower(nn.Module):
         for i in range(self.layers):
             if i == self.layers - 1:
                 penultimate = x
-            x = CLIPTextLayer(self.hidden, self.heads, dtype=self.dtype,
-                              name=f"layers_{i}")(x, causal)
+            x = CLIPTextLayer(self.hidden, self.heads, act=self.act,
+                              dtype=self.dtype, name=f"layers_{i}")(x, causal)
         final = LayerNorm(eps=1e-5, dtype=self.dtype,
                           name="final_layer_norm")(x)
         pooled = None
@@ -105,7 +106,7 @@ def build_sdxl_models(cfg: SDXLConfig, dtype=jnp.float32):
                            dtype=dtype)
     text_g = CLIPTextTower(hidden=cfg.text_g_hidden, layers=cfg.text_g_layers,
                            heads=max(1, cfg.text_g_hidden // 64),
-                           pooled_proj=cfg.pooled_dim, dtype=dtype)
+                           pooled_proj=cfg.pooled_dim, act="gelu", dtype=dtype)
     return unet, vae, text_l, text_g
 
 

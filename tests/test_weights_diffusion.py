@@ -102,12 +102,32 @@ def _synthesize(rules, template, rng, extra_unused=()):
     return sd
 
 
-@pytest.mark.parametrize("which", ["unet", "controlnet", "vae", "clip"])
+@pytest.mark.parametrize(
+    "which", ["unet", "controlnet", "vae", "clip", "sdxl_unet", "clip_g"])
 def test_diffusion_conversion_coverage(which, rng, tmp_path):
     from inklayer_tpu.models.diffusion import (
         AutoencoderKL, CLIPTextEncoder, ControlNet, UNet2DCondition)
+    from inklayer_tpu.models.diffusion.sdxl import CLIPTextTower
 
-    if which == "unet":
+    if which == "sdxl_unet":
+        # SDXL layout: 3 blocks, depths (0, 2, 10) -> tiny (0, 2, 2); linear
+        # proj + text_time add-embedding
+        model = UNet2DCondition(
+            block_channels=(8, 16, 16), transformer_layers=(0, 2, 2),
+            linear_proj=True, head_dim=4, context_dim=16,
+            addition_embed_dim=8, addition_proj_dim=16 + 6 * 8)
+        args = (jnp.zeros((1, 16, 16, 9)), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 7, 16)), None, None, False,
+                jnp.zeros((1, 16)), jnp.zeros((1, 6)))
+        rules, loader = (W._sdxl_unet_rules((0, 2, 2)),
+                         lambda p, m, a: W._load_component(
+                             p, W._sdxl_unet_rules((0, 2, 2)), m, a))
+    elif which == "clip_g":
+        model = CLIPTextTower(hidden=16, layers=2, heads=2, max_len=8,
+                              pooled_proj=8, act="gelu")
+        args = (jnp.zeros((1, 8), jnp.int32),)
+        rules, loader = W.SDXL_TEXT_RULES, W.load_sdxl_text_params
+    elif which == "unet":
         model = UNet2DCondition(block_channels=(8, 16, 16, 16), context_dim=16)
         args = (jnp.zeros((1, 16, 16, 9)), jnp.zeros((1,), jnp.int32),
                 jnp.zeros((1, 7, 16)))
