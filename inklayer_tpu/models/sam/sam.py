@@ -89,11 +89,17 @@ class SamPredictor:
     with cached jit-compiled encode/decode."""
 
     def __init__(self, params, cfg: SamConfig = SamConfig(),
-                 dtype: jnp.dtype = jnp.float32, box_capacity: int = 64):
+                 dtype: jnp.dtype = jnp.float32, box_capacity: int = 64,
+                 encode_fn=None):
+        """encode_fn: optional override for the image-encoder call, taking
+        the preprocessed (S, S, 3) image and returning a (G, G, C) embedding
+        — used to route encoding through a serving MicroBatcher so
+        concurrent predictors share one batched ViT-H launch."""
         self.cfg = cfg
         self.model = Sam(cfg, dtype=dtype)
         self.params = params
         self.box_capacity = box_capacity
+        self.encode_fn = encode_fn
         self._embedding = None
         self._scale = None
         self._input_hw = None  # size of valid (non-pad) region in model space
@@ -118,7 +124,10 @@ class SamPredictor:
         pre = scale_pad_normalize(
             jnp.asarray(image), jnp.float32(scale), c.pixel_mean, c.pixel_std,
             (c.image_size, c.image_size))
-        self._embedding = self._encode(self.params, pre[None])
+        if self.encode_fn is not None:
+            self._embedding = jnp.asarray(self.encode_fn(pre))[None]
+        else:
+            self._embedding = self._encode(self.params, pre[None])
         self._scale = scale
         self._orig_hw = (h, w)
         self._input_hw = (int(round(h * scale)), int(round(w * scale)))

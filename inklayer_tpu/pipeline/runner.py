@@ -61,6 +61,19 @@ class InkLayerPipeline:
         self._writer = ThreadPoolExecutor(max_workers=2)
         self._pending: List = []
         self.async_io = False
+        self._batched_encoder = None
+
+    def enable_batched_encoder(self, batch_buckets=(1, 2, 4),
+                               max_wait_ms: float = 10.0):
+        """Route SAM image encoding through a serving MicroBatcher so that
+        concurrent requests (web app) share one batched ViT-H launch."""
+        if self._batched_encoder is None:
+            from inklayer_tpu.serve.batcher import BatchedSamEncoder
+
+            self._batched_encoder = BatchedSamEncoder(
+                self.sam.model, self.sam.params, batch_buckets, max_wait_ms)
+            self.sam.encode_fn = self._batched_encoder.encode
+        return self._batched_encoder
 
     def _submit(self, fn, *args):
         if self.async_io:

@@ -65,7 +65,7 @@ class InkLayerApp:
     `pipeline_factory` on first segmentation request if not given)."""
 
     def __init__(self, pipeline=None, pipeline_factory: Optional[Callable] = None,
-                 root_dir: Optional[str] = None):
+                 root_dir: Optional[str] = None, micro_batch: bool = False):
         self.root_dir = root_dir or os.path.join(
             os.path.dirname(__file__), "webroot")
         self.upload_dir = os.path.join(self.root_dir, "static", "uploads")
@@ -74,6 +74,7 @@ class InkLayerApp:
         os.makedirs(self.output_dir, exist_ok=True)
         self._pipeline = pipeline
         self._factory = pipeline_factory
+        self._micro_batch = micro_batch
         self._lock = threading.Lock()  # one TPU pipeline at a time
 
     # ------------------------------------------------------------------
@@ -83,6 +84,9 @@ class InkLayerApp:
             if self._factory is None:
                 raise RuntimeError("no pipeline configured")
             self._pipeline = self._factory()
+            if self._micro_batch and hasattr(self._pipeline,
+                                             "enable_batched_encoder"):
+                self._pipeline.enable_batched_encoder()
         return self._pipeline
 
     # ------------------------------------------------------------------

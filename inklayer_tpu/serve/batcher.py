@@ -80,14 +80,17 @@ class MicroBatcher:
             items = [b[0] for b in batch]
             futs = [b[1] for b in batch]
             try:
+                import jax.numpy as jnp
+
                 n = len(items)
                 bucket = self._bucket_for(n)
-                stacked = np.stack(items)
+                stacked = jnp.stack(items)  # device inputs stay on device
                 if bucket > n:
-                    pad = np.repeat(stacked[-1:], bucket - n, axis=0)
-                    stacked = np.concatenate([stacked, pad], axis=0)
+                    pad = jnp.repeat(stacked[-1:], bucket - n, axis=0)
+                    stacked = jnp.concatenate([stacked, pad], axis=0)
                 out = self.fn(stacked)
-                out = np.asarray(out)
+                # keep device arrays device-resident: slicing a jax array is
+                # free, while np.asarray would force a (slow) host readback
                 for i, fut in enumerate(futs):
                     fut.set_result(out[i])
             except Exception as e:  # propagate to all waiters
@@ -111,9 +114,13 @@ class BatchedSamEncoder:
             lambda imgs: self._encode(self.params, imgs),
             batch_buckets, max_wait_ms)
 
-    def encode(self, preprocessed_image: np.ndarray):
-        """(S, S, 3) -> (G, G, C) embedding (batch dim handled internally)."""
+    def encode(self, preprocessed_image):
+        """(S, S, 3) -> (G, G, C) embedding (batch dim handled internally).
+        Accepts a device or host array; returns a device array."""
         return self.batcher(preprocessed_image)
+
+    def __call__(self, preprocessed_image):
+        return self.encode(preprocessed_image)
 
     def close(self):
         self.batcher.close()

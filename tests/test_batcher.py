@@ -69,3 +69,41 @@ def test_batched_sam_encoder_matches_direct(rng):
     direct = model.apply(params, jnp.asarray(x)[None], method=Sam.encode)[0]
     np.testing.assert_allclose(np.asarray(out), np.asarray(direct), atol=1e-5)
     enc.close()
+
+
+def test_pipeline_batched_encoder_wiring(rng):
+    """SamPredictor.set_image routes through a shared BatchedSamEncoder when
+    enabled, and produces identical masks to the direct path."""
+    import jax
+    import jax.numpy as jnp
+
+    from inklayer_tpu.models.sam import Sam, SamPredictor
+    from tests.test_sam import TINY
+
+    model = Sam(TINY)
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, TINY.image_size, TINY.image_size, 3)),
+        jnp.zeros((2, 4)))
+    direct = SamPredictor(params, TINY, box_capacity=4)
+    batched = SamPredictor(params, TINY, box_capacity=4)
+    enc = BatchedSamEncoder(batched.model, params, batch_buckets=(1, 2),
+                            max_wait_ms=5.0)
+    batched.encode_fn = enc.encode
+
+    img = (rng.random((40, 52, 3)) * 255).astype(np.uint8)
+    boxes = np.asarray([[4.0, 4.0, 30.0, 28.0]])
+    direct.set_image(img)
+    batched.set_image(img)
+    m1, _, _ = direct.predict_boxes(boxes)
+    m2, _, _ = batched.predict_boxes(boxes)
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+    # concurrent callers coalesce into one batched launch
+    outs = [enc.batcher.submit(
+        jnp.asarray(rng.standard_normal(
+            (TINY.image_size, TINY.image_size, 3)).astype(np.float32)))
+        for _ in range(2)]
+    for f in outs:
+        assert f.result(timeout=30).shape[-1] == TINY.prompt_embed_dim
+    enc.close()
