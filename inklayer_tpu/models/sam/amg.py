@@ -127,9 +127,16 @@ class SamAutomaticMaskGenerator:
         def decode_points(params, embedding, points):
             """points: (B, 2) model-space xy -> multimask logits + iou +
             stability, all at low res."""
-            labels = jnp.ones((points.shape[0], 1), jnp.int32)
+            bp = points.shape[0]
+            # reference predict_torch appends a (0,0)/-1 "not a point" pad
+            # token when no box prompt is given (prompt_encoder.py:81-85)
+            pts = jnp.concatenate(
+                [points[:, None, :], jnp.zeros((bp, 1, 2), points.dtype)], 1)
+            labels = jnp.concatenate(
+                [jnp.ones((bp, 1), jnp.int32),
+                 jnp.full((bp, 1), -1, jnp.int32)], 1)
             sparse, dense = model.apply(
-                params, points=(points[:, None, :], labels),
+                params, points=(pts, labels),
                 method=lambda m, **kw: m.prompt_encoder(**kw))
             image_pe = model.apply(
                 params, method=lambda m: m.prompt_encoder.get_dense_pe())

@@ -35,16 +35,47 @@ def _gather_rel_pos(rel_pos: jax.Array, q_size: int, k_size: int) -> jax.Array:
     different resolution.
     """
     max_rel_dist = 2 * max(q_size, k_size) - 1
+    rel_pos = _resize_rel_table(rel_pos, q_size, k_size)
+    qi = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    ki = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    idx = (qi - ki + (k_size - 1) * max(q_size / k_size, 1.0)).astype(jnp.int32)
+    del max_rel_dist
+    return rel_pos[idx]  # (q, k, head_dim)
+
+
+def _resize_rel_table(rel_pos: jax.Array, q_size: int, k_size: int) -> jax.Array:
+    max_rel_dist = 2 * max(q_size, k_size) - 1
     if rel_pos.shape[0] != max_rel_dist:
         rel_pos = jax.image.resize(
             rel_pos.astype(jnp.float32),
             (max_rel_dist, rel_pos.shape[1]),
             method="linear",
         )
-    qi = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
-    ki = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
-    idx = (qi - ki + (k_size - 1) * max(q_size / k_size, 1.0)).astype(jnp.int32)
-    return rel_pos[idx]  # (q, k, head_dim)
+    return rel_pos
+
+
+def _rel_term(qg: jax.Array, table: jax.Array, axis: int) -> jax.Array:
+    """q-dependent decomposed rel-pos term without per-row tiny matmuls.
+
+    qg: (b, n, h, w, c); table: (2*s-1, c) where s = size along `axis`
+    (3 for h, 4... i.e. axis in {2, 3} of qg).  Returns (b, n, h, w, s) with
+    out[..., i_axis, ..., k] = qg . table[i_axis - k + s - 1].
+
+    One MXU-friendly fat matmul P = qg @ table^T (lane = 2s-1) followed by
+    static diagonal slices — replaces the per-row (s, c) @ (c, s) einsum that
+    lowers to thousands of 14-lane matmuls in the 14x14-window blocks.
+    """
+    s = qg.shape[axis]
+    p = jnp.einsum("bnhwc,rc->bnhwr", qg, table.astype(qg.dtype))
+    # out[..., i, ..., k] = p[..., i, ..., i + (s-1-k)]  (r = i - k + s - 1)
+    slices = []
+    for i in range(s):
+        sl = jax.lax.slice_in_dim(p, i, i + s, axis=4)  # (..., s) over r
+        sl = jnp.flip(sl, axis=4)
+        # pick row i along `axis`
+        sl = jax.lax.slice_in_dim(sl, i, i + 1, axis=axis)
+        slices.append(sl)
+    return jnp.concatenate(slices, axis=axis)
 
 
 class Attention(nn.Module):
@@ -77,12 +108,19 @@ class Attention(nn.Module):
                 "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, head_dim))
             rel_pos_w = self.param(
                 "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, head_dim))
-            rh_tab = _gather_rel_pos(rel_pos_h, h, h).astype(self.dtype)  # (h, h, hd)
-            rw_tab = _gather_rel_pos(rel_pos_w, w, w).astype(self.dtype)
             qg = q.reshape(b, self.num_heads, h, w, head_dim)
             # bias terms from UNSCALED q (reference applies scale to q@k only)
-            rel_h = jnp.einsum("bnhwc,hkc->bnhwk", qg, rh_tab)  # (b,n,h,w,kh)
-            rel_w = jnp.einsum("bnhwc,wkc->bnhwk", qg, rw_tab)  # (b,n,h,w,kw)
+            if max(h, w) <= 32:
+                # windowed blocks: fat-matmul against the raw (2s-1, c)
+                # table + static diagonal slices — the per-row einsum lowers
+                # to thousands of 14-lane matmuls (measured ~1.5ms/block)
+                rel_h = _rel_term(qg, _resize_rel_table(rel_pos_h, h, h), 2)
+                rel_w = _rel_term(qg, _resize_rel_table(rel_pos_w, w, w), 3)
+            else:
+                rh_tab = _gather_rel_pos(rel_pos_h, h, h).astype(self.dtype)
+                rw_tab = _gather_rel_pos(rel_pos_w, w, w).astype(self.dtype)
+                rel_h = jnp.einsum("bnhwc,hkc->bnhwk", qg, rh_tab)
+                rel_w = jnp.einsum("bnhwc,wkc->bnhwk", qg, rw_tab)
 
         n_tokens = h * w
         on_tpu = jax.default_backend() == "tpu"
@@ -100,15 +138,32 @@ class Attention(nn.Module):
             else:
                 out = flash_attention(fold(q), fold(k), fold(v), scale=scale)
             out = out.reshape(b, self.num_heads, n_tokens, head_dim)
-        else:
-            bias = None
-            if rel_h is not None:
-                bias = (rel_h[..., :, :, :, None] + rel_w[..., :, :, None, :])
-                bias = bias.reshape(b, self.num_heads, n_tokens, n_tokens)
+        elif rel_h is not None:
+            # Fold the decomposed bias INTO the QK contraction instead of
+            # materializing the (nq, nk) bias in HBM (measured +1.4ms/block
+            # for the broadcast-add path on v5e):
+            #   logits[t, u] = scale*q[t].k[u] + rel_h[t, u//w] + rel_w[t, u%w]
+            #               = [scale*q[t], rel_h[t], rel_w[t]] . [k[u], 1_h(u), 1_w(u)]
+            # contraction width hd + kh + kw = 80+14+14 = 108 -> one 128-lane
+            # matmul; the bias tensor never exists outside registers.
+            eh = (jax.lax.broadcasted_iota(jnp.int32, (n_tokens, h), 0) // w ==
+                  jax.lax.broadcasted_iota(jnp.int32, (n_tokens, h), 1)
+                  ).astype(q.dtype)
+            ew = (jax.lax.broadcasted_iota(jnp.int32, (n_tokens, w), 0) % w ==
+                  jax.lax.broadcasted_iota(jnp.int32, (n_tokens, w), 1)
+                  ).astype(q.dtype)
+            rh = rel_h.reshape(b, self.num_heads, n_tokens, h).astype(q.dtype)
+            rw = rel_w.reshape(b, self.num_heads, n_tokens, w).astype(q.dtype)
+            aug_q = jnp.concatenate([q * scale, rh, rw], axis=-1)
+            aug_k = jnp.concatenate([
+                k,
+                jnp.broadcast_to(eh, (b, self.num_heads) + eh.shape),
+                jnp.broadcast_to(ew, (b, self.num_heads) + ew.shape)], axis=-1)
             # fp32 softmax: measured FASTER than bf16 at model scale on v5e
-            # (160 vs 233 ms full encoder — bf16 exp/reductions lose more
-            # than the halved logit traffic saves) and more accurate
-            out = sdpa(q, k, v, bias=bias, scale=scale)
+            # (160 vs 233 ms full encoder) and more accurate
+            out = sdpa(aug_q, aug_k, v, scale=1.0)
+        else:
+            out = sdpa(q, k, v, scale=scale)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
@@ -120,6 +175,7 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     window_size: int = 14  # 0 = global attention
     input_size: Tuple[int, int] = (64, 64)
+    use_rel_pos: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -134,6 +190,7 @@ class Block(nn.Module):
             attn_size = self.input_size
         x = Attention(
             dim=self.dim, num_heads=self.num_heads, input_size=attn_size,
+            use_rel_pos=self.use_rel_pos,
             dtype=self.dtype, name="attn")(x)
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, padded_hw, (h, w))
@@ -153,6 +210,7 @@ class ImageEncoderViT(nn.Module):
     out_chans: int = 256
     window_size: int = 14
     global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    use_rel_pos: bool = True  # ablation knob; SAM checkpoints require True
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
@@ -176,6 +234,7 @@ class ImageEncoderViT(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 window_size=0 if i in self.global_attn_indexes else self.window_size,
                 input_size=(grid, grid),
+                use_rel_pos=self.use_rel_pos,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x)

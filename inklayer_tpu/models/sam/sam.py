@@ -120,17 +120,23 @@ class SamPredictor:
         """image: (H, W, 3) uint8 RGB host array."""
         c = self.cfg
         h, w = image.shape[:2]
-        scale = resize_scale((h, w), (c.image_size, c.image_size), "longest")
+        # reference ResizeLongestSide.get_preprocess_shape: resize to the
+        # ROUNDED target shape; coords then scale PER AXIS by (nh/h, nw/w)
+        # (utils/transforms.py:94-102).  A single continuous scale drifts
+        # the pixel grid by up to half a pixel at 1024-long-side.
+        s = resize_scale((h, w), (c.image_size, c.image_size), "longest")
+        nh, nw = int(h * s + 0.5), int(w * s + 0.5)
         pre = scale_pad_normalize(
-            jnp.asarray(image), jnp.float32(scale), c.pixel_mean, c.pixel_std,
-            (c.image_size, c.image_size))
+            jnp.asarray(image),
+            jnp.asarray([nh / h, nw / w], jnp.float32),
+            c.pixel_mean, c.pixel_std, (c.image_size, c.image_size))
         if self.encode_fn is not None:
             self._embedding = jnp.asarray(self.encode_fn(pre))[None]
         else:
             self._embedding = self._encode(self.params, pre[None])
-        self._scale = scale
+        self._scale = np.asarray([nw / w, nh / h], np.float32)  # xy order
         self._orig_hw = (h, w)
-        self._input_hw = (int(round(h * scale)), int(round(w * scale)))
+        self._input_hw = (nh, nw)
 
     # -- prompts ----------------------------------------------------------
     def predict_boxes(
@@ -147,7 +153,7 @@ class SamPredictor:
         cap = self.box_capacity
         while cap < n:
             cap *= 2
-        boxes_model = np.asarray(boxes_xyxy, np.float32) * self._scale
+        boxes_model = np.asarray(boxes_xyxy, np.float32) * np.tile(self._scale, 2)
         padded = np.zeros((cap, 4), np.float32)
         padded[:n] = boxes_model
         logits, iou = self._decode(self.params, self._embedding,
@@ -186,7 +192,7 @@ class SamPredictor:
         while cap < n:
             cap *= 2
         padded = np.zeros((cap, 4), np.float32)
-        padded[:n] = np.asarray(boxes_xyxy, np.float32) * self._scale
+        padded[:n] = np.asarray(boxes_xyxy, np.float32) * np.tile(self._scale, 2)
         logits, iou = self._decode(self.params, self._embedding,
                                    jnp.asarray(padded))
         full = self._postprocess_device(logits[:n, 0])

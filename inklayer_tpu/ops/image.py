@@ -54,7 +54,9 @@ def scale_pad_normalize(
     """
     x = image.astype(jnp.float32)
     x = (x - jnp.asarray(mean)) / jnp.asarray(std)
-    scale2 = jnp.stack([scale, scale]).astype(jnp.float32)
+    scale = jnp.asarray(scale, jnp.float32)
+    scale2 = (jnp.stack([scale, scale]) if scale.ndim == 0
+              else scale).astype(jnp.float32)
     translation = jnp.zeros((2,), jnp.float32)
     return jax.image.scale_and_translate(
         x, (out_hw[0], out_hw[1], 3), (0, 1), scale2, translation,

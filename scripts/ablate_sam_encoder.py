@@ -1,0 +1,71 @@
+"""SAM ViT-H encoder ablation on the real TPU chip.
+
+Isolates where the 159ms (vs ~16-30ms MXU roofline at ~6.2 TFLOP/image)
+goes: rel-pos bias construction, windowed-vs-global structure, attention
+path.  Timing protocol per the axon-tunnel rules: args passed through jit,
+completion forced with a jitted scalar readback, p50 over N iters.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from inklayer_tpu.models.sam.image_encoder import ImageEncoderViT
+
+N_WARM, N_ITER = 3, 10
+
+
+def bench(name, make_model):
+    model = make_model()
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 1024, 1024, 3),
+                    jnp.bfloat16)
+    shapes = jax.eval_shape(lambda k: model.init(k, x), jax.random.key(0))
+    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+
+    @jax.jit
+    def fwd(p, xx):
+        return jnp.sum(model.apply(p, xx).astype(jnp.float32))
+
+    t0 = time.perf_counter()
+    float(fwd(params, x))
+    compile_s = time.perf_counter() - t0
+    for _ in range(N_WARM):
+        float(fwd(params, x))
+    ts = []
+    for _ in range(N_ITER):
+        t = time.perf_counter()
+        float(fwd(params, x))
+        ts.append((time.perf_counter() - t) * 1e3)
+    p50 = float(np.percentile(ts, 50))
+    print(f"{name:34s} p50 {p50:8.1f} ms   (compile {compile_s:.0f}s)",
+          flush=True)
+    return p50
+
+
+H = dict(img_size=1024, patch_size=16, embed_dim=1280, depth=32,
+         num_heads=16, out_chans=256, window_size=14,
+         global_attn_indexes=(7, 15, 23, 31), dtype=jnp.bfloat16)
+
+results = {}
+results["baseline"] = bench(
+    "baseline (4 global + 28 win)", lambda: ImageEncoderViT(**H))
+results["no_relpos"] = bench(
+    "no rel-pos bias", lambda: ImageEncoderViT(**{**H, "use_rel_pos": False}))
+results["all_global"] = bench(
+    "all 32 global (flash)",
+    lambda: ImageEncoderViT(**{**H, "global_attn_indexes": tuple(range(32))}))
+results["all_win"] = bench(
+    "all 32 windowed",
+    lambda: ImageEncoderViT(**{**H, "global_attn_indexes": ()}))
+results["all_win_norel"] = bench(
+    "all 32 windowed, no rel-pos",
+    lambda: ImageEncoderViT(**{**H, "global_attn_indexes": (),
+                               "use_rel_pos": False}))
+results["all_global_norel"] = bench(
+    "all 32 global, no rel-pos",
+    lambda: ImageEncoderViT(**{**H, "global_attn_indexes": tuple(range(32)),
+                               "use_rel_pos": False}))
+
+print("\nsummary:", {k: round(v, 1) for k, v in results.items()})
