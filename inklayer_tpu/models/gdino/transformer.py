@@ -282,7 +282,12 @@ def gen_encoder_output_proposals(memory, pad_mask, spatial_shapes):
         proposals.append(jnp.concatenate([grid, wh], -1).reshape(b, h * w, 4))
     props = jnp.concatenate(proposals, axis=1)
     valid = jnp.all((props > 0.01) & (props < 0.99), axis=-1, keepdims=True)
-    props_logit = jnp.log(props / (1 - props))
+    # clamp BEFORE the log so invalid rows (overwritten with +inf below)
+    # don't produce nan forward values whose 0-cotangent still poisons
+    # gradients (0 * nan) during fine-tuning; valid rows are unaffected
+    # (validity already requires 0.01 < p < 0.99)
+    safe = jnp.clip(props, 1e-3, 1 - 1e-3)
+    props_logit = jnp.log(safe / (1 - safe))
     invalid = pad_mask[..., None] | ~valid
     props_logit = jnp.where(invalid, jnp.inf, props_logit)
     mem = jnp.where(invalid, 0.0, memory)

@@ -85,12 +85,15 @@ def detection_loss(
         # alignment score of each query with each GT's positive tokens
         pm = posmaps.astype(jnp.float32)
         pm_norm = pm / jnp.maximum(pm.sum(-1, keepdims=True), 1.0)
-        cls_score = probs_i @ pm_norm.T  # (nq, M)
+        # clip away from {0, 1}: at sigmoid saturation XLA's fused
+        # reassociation of (1 - p + eps) can produce an exact log(0) -> inf
+        # even though the eager order is safe
+        cls_score = jnp.clip(probs_i @ pm_norm.T, 1e-7, 1 - 1e-7)  # (nq, M)
         # focal-style class cost (up-weight confident wrong matches)
         pos_cost = focal_alpha * ((1 - cls_score) ** focal_gamma) * (
-            -jnp.log(cls_score + 1e-8))
+            -jnp.log(cls_score))
         neg_cost = (1 - focal_alpha) * (cls_score ** focal_gamma) * (
-            -jnp.log(1 - cls_score + 1e-8))
+            -jnp.log1p(-cls_score))
         c_class = pos_cost - neg_cost
         l1 = jnp.abs(boxes[:, None] - gts[None]).sum(-1)
         giou = generalized_box_iou(box_cxcywh_to_xyxy(boxes),
@@ -112,10 +115,10 @@ def detection_loss(
         tgt = jnp.zeros_like(probs_i)
         upd = pm * vf[:, None]
         tgt = tgt.at[safe].max(upd)
-        p_t = probs_i * tgt + (1 - probs_i) * (1 - tgt)
+        pc = jnp.clip(probs_i, 1e-7, 1 - 1e-7)
+        p_t = pc * tgt + (1 - pc) * (1 - tgt)
         a_t = focal_alpha * tgt + (1 - focal_alpha) * (1 - tgt)
-        ce = -(tgt * jnp.log(probs_i + 1e-8)
-               + (1 - tgt) * jnp.log(1 - probs_i + 1e-8))
+        ce = -(tgt * jnp.log(pc) + (1 - tgt) * jnp.log1p(-pc))
         loss_cls = (a_t * ((1 - p_t) ** focal_gamma) * ce).sum() / n
         return loss_cls, loss_l1, loss_giou
 
