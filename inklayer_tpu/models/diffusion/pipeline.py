@@ -188,7 +188,11 @@ class ControlNetInpaintPipeline:
                 self.params, text_emb, jnp.asarray(img01), jnp.asarray(mask01),
                 jnp.asarray(control), noise, tables,
                 steps=steps, guidance=float(guidance), cond_scale=float(cscale))
-            arr = (np.asarray(out) * 255).astype(np.uint8)
+            # diffusers clamps decoded images to [0,1] before the uint8 cast
+            # (pipeline postprocess (image/2+0.5).clamp(0,1)); also guards
+            # the cast against NaN from un-trained placeholder weights
+            arr = np.nan_to_num(np.asarray(out, np.float32))
+            arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
             cur = Image.fromarray(arr)
         return cur
 
