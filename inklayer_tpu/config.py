@@ -153,6 +153,9 @@ class DepthConfig:
     input_size: int = 518  # resize lower bound, multiple of 14
     layerscale_init: float = 1.0
     interpolate_offset: float = 0.1
+    # metric-depth variant (reference metric_depth/depth_anything_v2/dpt.py:
+    # 113,160-183): >0 switches the head to sigmoid * max_depth
+    max_depth: float = 0.0
 
     @staticmethod
     def vits() -> "DepthConfig":

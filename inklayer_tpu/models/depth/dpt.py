@@ -113,6 +113,10 @@ class DPTHead(nn.Module):
                     name="output_conv2_0")(x)
         x = nn.relu(x)
         x = nn.Conv(1, (1, 1), dtype=self.dtype, name="output_conv2_2")(x)
+        if self.cfg.max_depth > 0:
+            # metric variant: sigmoid head scaled by max_depth
+            # (metric_depth/depth_anything_v2/dpt.py:113,183)
+            return jax.nn.sigmoid(x[..., 0])
         return nn.relu(x[..., 0])
 
 
@@ -128,8 +132,11 @@ class DepthAnythingV2(nn.Module):
         ph, pw = image.shape[1] // c.patch_size, image.shape[2] // c.patch_size
         taps = DinoVisionTransformer(c, dtype=self.dtype, name="pretrained")(
             image.astype(self.dtype), c.intermediate_layers)
-        return DPTHead(c, dtype=self.dtype, name="depth_head")(
+        out = DPTHead(c, dtype=self.dtype, name="depth_head")(
             taps, (ph, pw)).astype(jnp.float32)
+        if c.max_depth > 0:
+            out = out * c.max_depth
+        return out
 
 
 def depth_bucket(h: int, w: int, cfg: DepthConfig) -> Tuple[int, int]:
