@@ -145,18 +145,14 @@ class GDinoDetector:
                 jnp.asarray(ids), jnp.asarray(attn), jnp.asarray(pos.astype(np.int32)))
         return self._text_cache[caption]
 
-    def detect(self, image: np.ndarray, caption: Optional[str] = None,
-               box_threshold: Optional[float] = None):
-        """image: (H, W, 3) uint8 RGB.  Returns dict with normalized cxcywh
-        'boxes' (N, 4), 'scores' (N,), 'token_logits' (N, T) for detections
-        above threshold (N <= max_boxes)."""
-        c = self.cfg
-        caption = caption if caption is not None else c.caption
+    def _caption(self, caption: Optional[str]) -> str:
         # GDINO captions are lowercased and end with '.' (util/inference.py)
-        cap = caption.lower().strip()
-        if not cap.endswith("."):
-            cap = cap + "."
-        thresh = c.box_threshold if box_threshold is None else box_threshold
+        cap = (caption if caption is not None else self.cfg.caption)
+        cap = cap.lower().strip()
+        return cap if cap.endswith(".") else cap + "."
+
+    def _preprocess(self, image: np.ndarray):
+        c = self.cfg
         h, w = image.shape[:2]
         bucket = pick_bucket(h, w, c.shape_buckets)
         scale = min(resize_scale((h, w), bucket, "shortest"),
@@ -165,18 +161,15 @@ class GDinoDetector:
             jnp.asarray(image), jnp.float32(scale), IMAGENET_MEAN,
             IMAGENET_STD, bucket)
         vh, vw = int(round(h * scale)), int(round(w * scale))
-        pad_mask = np.ones((1,) + bucket, bool)
-        pad_mask[:, :vh, :vw] = False
-        ids, attn, pos = self._tokenize(cap)
-        scores, boxes, tok_logits = self._jit(
-            self.params, pre[None], jnp.asarray(pad_mask), ids, attn, pos)
-        scores = np.asarray(scores[0])
-        boxes = np.asarray(boxes[0], np.float64)
-        tok_logits = np.asarray(tok_logits[0])
+        pad_mask = np.ones(bucket, bool)
+        pad_mask[:vh, :vw] = False
+        return bucket, pre, pad_mask
+
+    def _threshold(self, scores, boxes, tok_logits, token_ids, cap,
+                   thresh: float):
         keep = scores > thresh
-        token_ids = np.asarray(ids[0])
         labels = [self.phrase_from_posmap(tok_logits[i], token_ids,
-                                          c.text_threshold)
+                                          self.cfg.text_threshold)
                   for i in np.nonzero(keep)[0]]
         # boxes are normalized wrt the VALID region of the bucket canvas:
         # cxcywh in [0,1] of the valid extent — matching the reference's
@@ -188,6 +181,58 @@ class GDinoDetector:
             "labels": labels,
             "caption": cap,
         }
+
+    def detect(self, image: np.ndarray, caption: Optional[str] = None,
+               box_threshold: Optional[float] = None):
+        """image: (H, W, 3) uint8 RGB.  Returns dict with normalized cxcywh
+        'boxes' (N, 4), 'scores' (N,), 'token_logits' (N, T) for detections
+        above threshold (N <= max_boxes)."""
+        c = self.cfg
+        cap = self._caption(caption)
+        thresh = c.box_threshold if box_threshold is None else box_threshold
+        _, pre, pad_mask = self._preprocess(image)
+        ids, attn, pos = self._tokenize(cap)
+        scores, boxes, tok_logits = self._jit(
+            self.params, pre[None], jnp.asarray(pad_mask[None]), ids, attn,
+            pos)
+        return self._threshold(
+            np.asarray(scores[0]), np.asarray(boxes[0], np.float64),
+            np.asarray(tok_logits[0]), np.asarray(ids[0]), cap, thresh)
+
+    def detect_batch(self, images, caption: Optional[str] = None,
+                     box_threshold: Optional[float] = None):
+        """Batched detection for directory sweeps / serving: images are
+        grouped by shape bucket and each group runs as ONE dispatch
+        (amortizing per-dispatch overhead; one compile per (bucket, B)).
+        Returns detect()-style dicts in input order."""
+        c = self.cfg
+        cap = self._caption(caption)
+        thresh = c.box_threshold if box_threshold is None else box_threshold
+        ids, attn, pos = self._tokenize(cap)
+        token_ids = np.asarray(ids[0])
+
+        groups: dict = {}
+        prepped = []
+        for i, image in enumerate(images):
+            bucket, pre, pad = self._preprocess(image)
+            prepped.append((pre, pad))
+            groups.setdefault(bucket, []).append(i)
+        results = [None] * len(images)
+        for bucket, idxs in groups.items():
+            b = len(idxs)
+            pre_b = jnp.stack([prepped[i][0] for i in idxs])
+            pad_b = jnp.asarray(np.stack([prepped[i][1] for i in idxs]))
+            tile = lambda t: jnp.broadcast_to(t, (b,) + t.shape[1:])
+            scores, boxes, tok_logits = self._jit(
+                self.params, pre_b, pad_b, tile(ids), tile(attn), tile(pos))
+            scores = np.asarray(scores)
+            boxes = np.asarray(boxes, np.float64)
+            tok_logits = np.asarray(tok_logits)
+            for j, i in enumerate(idxs):
+                results[i] = self._threshold(
+                    scores[j], boxes[j], tok_logits[j], token_ids, cap,
+                    thresh)
+        return results
 
     def phrase_from_posmap(self, token_probs: np.ndarray,
                            token_ids: np.ndarray,

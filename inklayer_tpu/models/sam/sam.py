@@ -117,26 +117,52 @@ class SamPredictor:
 
     # -- image ------------------------------------------------------------
     def set_image(self, image: np.ndarray) -> None:
-        """image: (H, W, 3) uint8 RGB host array."""
-        c = self.cfg
-        h, w = image.shape[:2]
-        # reference ResizeLongestSide.get_preprocess_shape: resize to the
-        # ROUNDED target shape; coords then scale PER AXIS by (nh/h, nw/w)
-        # (utils/transforms.py:94-102).  A single continuous scale drifts
-        # the pixel grid by up to half a pixel at 1024-long-side.
-        s = resize_scale((h, w), (c.image_size, c.image_size), "longest")
-        nh, nw = int(h * s + 0.5), int(w * s + 0.5)
-        pre = scale_pad_normalize(
-            jnp.asarray(image),
-            jnp.asarray([nh / h, nw / w], jnp.float32),
-            c.pixel_mean, c.pixel_std, (c.image_size, c.image_size))
+        """image: (H, W, 3) uint8 RGB host array.
+
+        Preprocessing follows reference ResizeLongestSide.get_preprocess_
+        shape: resize to the ROUNDED target shape; coords then scale PER
+        AXIS by (nh/h, nw/w) (utils/transforms.py:94-102).  A single
+        continuous scale drifts the pixel grid by up to half a pixel."""
+        pre, meta = self._preprocess_meta(image)
         if self.encode_fn is not None:
             self._embedding = jnp.asarray(self.encode_fn(pre))[None]
         else:
             self._embedding = self._encode(self.params, pre[None])
-        self._scale = np.asarray([nw / w, nh / h], np.float32)  # xy order
-        self._orig_hw = (h, w)
-        self._input_hw = (nh, nw)
+        self._scale = meta["scale"]
+        self._orig_hw = meta["orig_hw"]
+        self._input_hw = meta["input_hw"]
+
+    # -- batched prefill (directory sweeps / serving) ----------------------
+    def _preprocess_meta(self, image: np.ndarray):
+        c = self.cfg
+        h, w = image.shape[:2]
+        s = resize_scale((h, w), (c.image_size, c.image_size), "longest")
+        nh, nw = int(h * s + 0.5), int(w * s + 0.5)
+        pre = scale_pad_normalize(
+            jnp.asarray(image), jnp.asarray([nh / h, nw / w], jnp.float32),
+            c.pixel_mean, c.pixel_std, (c.image_size, c.image_size))
+        meta = {"scale": np.asarray([nw / w, nh / h], np.float32),
+                "orig_hw": (h, w), "input_hw": (nh, nw)}
+        return pre, meta
+
+    def precompute_image_states(self, images) -> list:
+        """ONE batched ViT-H launch for several images; returns opaque
+        states for set_image_state (amortizes dispatch + pipeline overhead
+        on directory sweeps — the reference re-encodes per image)."""
+        pres, metas = [], []
+        for image in images:
+            pre, meta = self._preprocess_meta(image)
+            pres.append(pre)
+            metas.append(meta)
+        embs = self._encode(self.params, jnp.stack(pres))
+        return [{"embedding": embs[i: i + 1], **metas[i]}
+                for i in range(len(images))]
+
+    def set_image_state(self, state: dict) -> None:
+        self._embedding = state["embedding"]
+        self._scale = state["scale"]
+        self._orig_hw = state["orig_hw"]
+        self._input_hw = state["input_hw"]
 
     # -- prompts ----------------------------------------------------------
     def predict_boxes(

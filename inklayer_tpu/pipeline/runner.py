@@ -62,6 +62,8 @@ class InkLayerPipeline:
         self._pending: List = []
         self.async_io = False
         self._batched_encoder = None
+        self._det_cache: dict = {}
+        self._sam_state_cache: dict = {}
 
     def enable_batched_encoder(self, batch_buckets=(1, 2, 4),
                                max_wait_ms: float = 10.0):
@@ -88,18 +90,46 @@ class InkLayerPipeline:
         self._pending.clear()
 
     def run_dir(self, paths, out_base_dir: str, no_intermediate: bool = False,
-                inpaint: bool = False):
+                inpaint: bool = False, batch_size: int = 1):
         """Directory sweep with host-IO/device overlap: image i's PNG
         output-contract work runs on writer threads while image i+1 is on
-        device (the reference processes strictly sequentially)."""
+        device (the reference processes strictly sequentially).
+
+        batch_size > 1 additionally BATCHES the two big model dispatches
+        across images: GDINO detect groups same-bucket images into one
+        forward, and SAM ViT-H encodes batch_size images per launch —
+        amortizing per-dispatch overhead and filling the MXU at batch
+        dimension (one extra compile per batch shape)."""
         self.async_io = True
+        self._det_cache, self._sam_state_cache = {}, {}
         try:
+            if batch_size > 1:
+                self._prefill_batches(paths, batch_size)
             outs = [self.run(p, out_base_dir, no_intermediate, inpaint)
                     for p in paths]
         finally:
             self.drain()
             self.async_io = False
+            self._det_cache, self._sam_state_cache = {}, {}
         return outs
+
+    def _prefill_batches(self, paths, batch_size: int):
+        images = {}
+        for p in paths:
+            images[p] = np.asarray(Image.open(p).convert("RGB"))
+        todo = list(paths)
+        for s in range(0, len(todo), batch_size):
+            chunk = todo[s: s + batch_size]
+            t0 = time.perf_counter()
+            dets = self.detector.detect_batch([images[p] for p in chunk])
+            self.stage_times.add("detect", time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            states = self.sam.precompute_image_states(
+                [images[p] for p in chunk])
+            self.stage_times.add("segment", time.perf_counter() - t0)
+            for p, d, st in zip(chunk, dets, states):
+                self._det_cache[p] = d
+                self._sam_state_cache[p] = st
 
     # ------------------------------------------------------------------
     def run(self, input_path: str, out_base_dir: str,
@@ -116,7 +146,9 @@ class InkLayerPipeline:
 
         # ---- detection -------------------------------------------------
         t0 = time.perf_counter()
-        det = self.detector.detect(image)
+        det = self._det_cache.get(input_path)
+        if det is None:
+            det = self.detector.detect(image)
         self.stage_times.add("detect", time.perf_counter() - t0)
         boxes_cxcywh = det["boxes"]  # normalized
         scores = det["scores"]
@@ -142,7 +174,11 @@ class InkLayerPipeline:
 
         t0 = time.perf_counter()
         if len(boxes_abs):
-            self.sam.set_image(image)
+            state = self._sam_state_cache.get(input_path)
+            if state is not None:
+                self.sam.set_image_state(state)
+            else:
+                self.sam.set_image(image)
             masks_dev, _iou = self.sam.predict_device(boxes_abs)
         else:
             masks_dev = jnp.zeros((0, h, w), bool)
@@ -154,7 +190,11 @@ class InkLayerPipeline:
             Image.fromarray(seg).save(
                 os.path.join(out_dir, "segmented_sketch.png"))
 
-        self._submit(write_sam_outputs, masks_dev)
+        # --no_intermediate: these outputs are deleted by the final cleanup
+        # (io/outputs.KEEP_LIST) — skip the device->host transfers entirely
+        # (they dominate wall time through slow interconnects)
+        if not no_intermediate:
+            self._submit(write_sam_outputs, masks_dev)
 
         # ---- mask cleaning (device) --------------------------------------
         from inklayer_tpu.pipeline.refine.mask_cleaner import clean_masks_device
@@ -162,10 +202,11 @@ class InkLayerPipeline:
         t0 = time.perf_counter()
         cleaned_dev = clean_masks_device(masks_dev, cfg.refine)
         self.stage_times.add("clean", time.perf_counter() - t0)
-        self._submit(
-            lambda cd: io_out.save_masks_dir(
-                masks_to_host(cd), os.path.join(out_dir, "masks_cleaned")),
-            cleaned_dev)
+        if not no_intermediate:
+            self._submit(
+                lambda cd: io_out.save_masks_dir(
+                    masks_to_host(cd), os.path.join(out_dir, "masks_cleaned")),
+                cleaned_dev)
 
         # ---- sketch NMS (IoU matrix on device) ---------------------------
         # mmdetection alt path: prefer mmdet_out/*.json boxes when present
@@ -226,8 +267,11 @@ class InkLayerPipeline:
         self.stage_times.add("refine", time.perf_counter() - t0)
 
         def write_final_outputs(disjoint_dev_, final_dev_, depth_):
-            io_out.save_masks_dir(masks_to_host(disjoint_dev_),
-                                  os.path.join(out_dir, "masks_disjoint"))
+            # masks_disjoint is needed on disk when inpainting runs (the
+            # per-layer assembly and the web single-layer editor read it)
+            if not no_intermediate or inpaint:
+                io_out.save_masks_dir(masks_to_host(disjoint_dev_),
+                                      os.path.join(out_dir, "masks_disjoint"))
             final_masks = masks_to_host(final_dev_)
             io_out.save_masks_dir(final_masks,
                                   os.path.join(out_dir, "masks_final"))

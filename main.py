@@ -34,6 +34,9 @@ def main():
     parser.add_argument("--config", type=str, default=None,
                         help="JSON PipelineConfig path")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="batch GDINO/SAM dispatches across images in "
+                             "--dir mode (throughput)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -61,7 +64,7 @@ def main():
     if len(paths) > 1:
         # directory sweep: host IO overlaps the next image's device work
         outs = pipeline.run_dir(paths, args.out_dir, args.no_intermediate,
-                                args.inpaint)
+                                args.inpaint, batch_size=args.batch)
         for p, out in zip(paths, outs):
             print(f"{p} -> {out}")
     else:

@@ -128,3 +128,38 @@ def test_run_dir_async_io(pipeline, tmp_path):
             assert os.path.exists(os.path.join(out, item)), (out, item)
     assert not pipeline._pending
     assert pipeline.async_io is False
+
+
+def test_run_dir_batched_matches_unbatched(tmp_path, rng):
+    """batch_size=2 groups GDINO/SAM dispatches but must produce byte-
+    identical outputs to the sequential path."""
+    import json
+
+    from inklayer_tpu.build import build_pipeline
+
+    paths = []
+    for i in range(3):
+        img = (rng.random((40 + 4 * i, 52, 3)) * 200 + 30).astype(np.uint8)
+        p = str(tmp_path / f"in_{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+
+    out_a, out_b = str(tmp_path / "seq"), str(tmp_path / "bat")
+    pa = build_pipeline(TINY_PIPE)
+    pa.inpainter = None
+    dirs_a = pa.run_dir(paths, out_a, no_intermediate=True)
+    pb = build_pipeline(TINY_PIPE)
+    pb.inpainter = None
+    dirs_b = pb.run_dir(paths, out_b, no_intermediate=True, batch_size=2)
+
+    for da, db in zip(dirs_a, dirs_b):
+        ja = json.load(open(os.path.join(da, "bboxes_final.json")))
+        jb = json.load(open(os.path.join(db, "bboxes_final.json")))
+        assert ja == jb
+        ma = sorted(os.listdir(os.path.join(da, "masks_final")))
+        mb = sorted(os.listdir(os.path.join(db, "masks_final")))
+        assert ma == mb
+        for name in ma:
+            a = np.asarray(Image.open(os.path.join(da, "masks_final", name)))
+            b = np.asarray(Image.open(os.path.join(db, "masks_final", name)))
+            np.testing.assert_array_equal(a, b)

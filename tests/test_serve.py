@@ -148,3 +148,37 @@ def test_serve_with_real_tiny_pipeline(tmp_path):
     # is then empty, but the output dir exists with the full mask contract
     assert status == "200 OK"
     assert os.path.exists(os.path.join(app.output_dir, "real", "masks_final"))
+
+
+def test_serve_micro_batch_factory(tmp_path):
+    """micro_batch=True wires the shared BatchedSamEncoder into the lazily
+    built pipeline; /segment-sketch still serves correctly through it."""
+    import base64
+
+    from inklayer_tpu.build import build_pipeline
+    from tests.test_pipeline import TINY_PIPE
+
+    def factory():
+        p = build_pipeline(TINY_PIPE)
+        p.inpainter = None
+        return p
+
+    app = InkLayerApp(pipeline_factory=factory, root_dir=str(tmp_path),
+                      micro_batch=True)
+    g = np.full((64, 64, 3), 255, np.uint8)
+    g[10:50, 10:13] = 0
+    g[10:13, 10:50] = 0
+    buf = io.BytesIO()
+    Image.fromarray(g).save(buf, "PNG")
+    data_url = ("data:image/png;base64,"
+                + base64.b64encode(buf.getvalue()).decode())
+    status, _ = call(app, "POST", "/save-canvas-drawing",
+                     json.dumps({"imageData": data_url,
+                                 "filename": "mb"}).encode())
+    assert status == "200 OK"
+    status, _ = call(app, "POST", "/segment-sketch",
+                     json.dumps({"imageName": "mb"}).encode())
+    assert status == "200 OK"
+    assert app._pipeline._batched_encoder is not None
+    assert app._pipeline.sam.encode_fn is not None
+    app._pipeline._batched_encoder.close()
