@@ -149,12 +149,50 @@ def measure_throughput(batch: int = 4, iters: int = 5):
     return batch * iters / dt
 
 
+def measure_full_pipeline(iters: int = 3):
+    """Warm FULL pipeline (detect -> segment -> clean -> NMS -> depth ->
+    refine -> output contract, --no_intermediate) — the BASELINE.json
+    'sketches/sec per chip end-to-end' metric.  Covers everything the
+    reference's run_inklayer_pipeline does except inpainting (runner.py:21-103
+    scope; --inpaint is a separate opt-in stage there too)."""
+    import shutil
+    import tempfile
+
+    from inklayer_tpu.build import build_pipeline
+    from inklayer_tpu.config import PipelineConfig
+
+    pipe = build_pipeline(PipelineConfig())
+    out = tempfile.mkdtemp(prefix="inklayer_bench_")
+    src = DATA if os.path.exists(DATA) else None
+    if src is None:
+        from PIL import Image
+
+        src = os.path.join(out, "synth.png")
+        arr = (np.random.default_rng(0).random((750, 750, 3)) * 255
+               ).astype(np.uint8)
+        Image.fromarray(arr).save(src)
+    try:
+        pipe.run(src, out, no_intermediate=True, inpaint=False)  # warm/compile
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            pipe.run(src, out, no_intermediate=True, inpaint=False)
+            pipe.drain()
+            times.append(time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    p50 = float(np.percentile(times, 50))
+    return p50 * 1e3, 1.0 / p50
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--calibrate-cpu", action="store_true",
                     help="measure the CPU-backend reference time and store it")
     ap.add_argument("--throughput", action="store_true",
                     help="measure sketches/sec over the demo directory")
+    ap.add_argument("--skip-full", action="store_true",
+                    help="skip the full-pipeline end-to-end measurement")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
@@ -188,6 +226,13 @@ def main():
         "unit": "ms",
         "vs_baseline": vs if vs is not None else 0.0,
     }
+    if not args.skip_full:
+        try:
+            e2e_ms, sps = measure_full_pipeline()
+            out["e2e_full_pipeline_p50_ms"] = round(e2e_ms, 1)
+            out["e2e_sketches_per_sec_per_chip"] = round(sps, 3)
+        except Exception as e:  # never lose the primary metric
+            out["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))
 
 

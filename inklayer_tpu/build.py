@@ -63,6 +63,12 @@ def build_pipeline(cfg: PipelineConfig = PipelineConfig(),
         gparams = load_gdino_params(gd_ckpt, cfg.gdino, gmodel, g_args)
     else:
         gparams = _placeholder_params(gmodel, *g_args)
+    if vocab_path is None and models_dir:
+        # bert-base-uncased vocab.txt for exact caption tokenization
+        # (reference: groundingdino/util/get_tokenlizer.py AutoTokenizer)
+        vocab_path = _first_existing(
+            os.path.join(models_dir, "bert-base-uncased", "vocab.txt"),
+            os.path.join(models_dir, "vocab.txt"))
     detector = GDinoDetector(gparams, cfg.gdino, dtype=dtype,
                              vocab_path=vocab_path)
 
@@ -89,15 +95,66 @@ def build_pipeline(cfg: PipelineConfig = PipelineConfig(),
         dparams = _placeholder_params(dmodel, *d_args)
     depth_est = DepthEstimator(dparams, cfg.depth, dtype=dtype)
 
-    inpainter = build_inpainter(cfg, dtype=dtype)
+    inpainter = build_inpainter(cfg, dtype=dtype, models_dir=models_dir)
     return InkLayerPipeline(detector, sam_predictor, depth_est,
                             inpainter=inpainter, cfg=cfg)
 
 
-def build_inpainter(cfg: PipelineConfig, dtype: jnp.dtype = jnp.float32):
+def _first_existing(*paths):
+    for p in paths:
+        if p and os.path.exists(p):
+            return p
+    return None
+
+
+def resolve_diffusion_checkpoints(models_dir: Optional[str]) -> dict:
+    """Locate the diffusers-layout component weight files under models_dir.
+
+    Expected layout (what `huggingface-cli download` of
+    runwayml/stable-diffusion-inpainting + lllyasviel/control_v11p_sd15_inpaint
+    produces — the two repos the reference loads at
+    inpaint_ControlNet.py:14-47):
+
+        {models_dir}/stable-diffusion-inpainting/unet/diffusion_pytorch_model.{safetensors,bin}
+        {models_dir}/stable-diffusion-inpainting/vae/diffusion_pytorch_model.{safetensors,bin}
+        {models_dir}/stable-diffusion-inpainting/text_encoder/{model.safetensors,pytorch_model.bin}
+        {models_dir}/control_v11p_sd15_inpaint/diffusion_pytorch_model.{safetensors,bin}
+        {models_dir}/clip-vit-large-patch14/{vocab.json,merges.txt}   (tokenizer)
+
+    Returns {component: path-or-None}.
+    """
+    out = {"unet": None, "vae": None, "text": None, "controlnet": None,
+           "clip_vocab": None, "clip_merges": None}
+    if not models_dir:
+        return out
+    sd = os.path.join(models_dir, "stable-diffusion-inpainting")
+    cn = os.path.join(models_dir, "control_v11p_sd15_inpaint")
+    tok = os.path.join(models_dir, "clip-vit-large-patch14")
+    weight_names = ("diffusion_pytorch_model.safetensors",
+                    "diffusion_pytorch_model.bin")
+    out["unet"] = _first_existing(
+        *[os.path.join(sd, "unet", n) for n in weight_names])
+    out["vae"] = _first_existing(
+        *[os.path.join(sd, "vae", n) for n in weight_names])
+    out["text"] = _first_existing(
+        os.path.join(sd, "text_encoder", "model.safetensors"),
+        os.path.join(sd, "text_encoder", "pytorch_model.bin"))
+    out["controlnet"] = _first_existing(
+        *[os.path.join(cn, n) for n in weight_names])
+    out["clip_vocab"] = _first_existing(
+        os.path.join(tok, "vocab.json"), os.path.join(models_dir, "vocab.json"))
+    out["clip_merges"] = _first_existing(
+        os.path.join(tok, "merges.txt"), os.path.join(models_dir, "merges.txt"))
+    return out
+
+
+def build_inpainter(cfg: PipelineConfig, dtype: jnp.dtype = jnp.float32,
+                    models_dir: Optional[str] = None):
     """ControlNet-inpaint stage.  Mirrors the reference's lazy global
     singleton (inpaint_ControlNet.py:14-47): the diffusion models are built
-    on first use."""
+    on first use.  When `models_dir` holds diffusers-layout checkpoints
+    (see resolve_diffusion_checkpoints) they are converted per component;
+    missing components fall back to placeholder params with a warning."""
     from inklayer_tpu.pipeline.inpaint.orchestrate import Inpainter
 
     state = {}
@@ -106,6 +163,7 @@ def build_inpainter(cfg: PipelineConfig, dtype: jnp.dtype = jnp.float32):
         from inklayer_tpu.models.diffusion import (
             AutoencoderKL, CLIPTextEncoder, ControlNet,
             ControlNetInpaintPipeline, UNet2DCondition)
+        from inklayer_tpu.models.diffusion.clip_text import CLIPTokenizer
         d = cfg.diffusion
         text = CLIPTextEncoder(hidden=d.cross_attention_dim,
                                heads=max(1, d.cross_attention_dim // 64),
@@ -116,25 +174,75 @@ def build_inpainter(cfg: PipelineConfig, dtype: jnp.dtype = jnp.float32):
                           context_dim=d.cross_attention_dim, dtype=dtype)
         vae = AutoencoderKL(d.vae_channels, d.latent_channels, dtype=dtype)
         s8 = d.resolution // 8
-        params = {
-            "text": _placeholder_params(
-                text, jnp.zeros((2, d.text_maxlen), jnp.int32)),
-            "unet": _placeholder_params(
-                unet, jnp.zeros((2, s8, s8, 9)), jnp.zeros((2,), jnp.int32),
-                jnp.zeros((2, d.text_maxlen, d.cross_attention_dim))),
-            "controlnet": _placeholder_params(
-                cnet, jnp.zeros((2, s8, s8, 4)), jnp.zeros((2,), jnp.int32),
+        example_args = {
+            "text": (jnp.zeros((2, d.text_maxlen), jnp.int32),),
+            "unet": (jnp.zeros((2, s8, s8, 9)), jnp.zeros((2,), jnp.int32),
+                     jnp.zeros((2, d.text_maxlen, d.cross_attention_dim))),
+            "controlnet": (
+                jnp.zeros((2, s8, s8, 4)), jnp.zeros((2,), jnp.int32),
                 jnp.zeros((2, d.text_maxlen, d.cross_attention_dim)),
                 jnp.zeros((2, d.resolution, d.resolution, 3))),
-            "vae": _placeholder_params(
-                vae, jnp.zeros((1, d.resolution, d.resolution, 3))),
+            "vae": (jnp.zeros((1, d.resolution, d.resolution, 3)),),
         }
-        return ControlNetInpaintPipeline(params, d, dtype=dtype)
+        models = {"text": text, "unet": unet, "controlnet": cnet, "vae": vae}
+        ckpts = resolve_diffusion_checkpoints(models_dir)
 
-    def inpaint_func(image, mask):
+        def loaders():
+            from inklayer_tpu.io.weights import (
+                load_clip_text_params, load_controlnet_params,
+                load_unet_params, load_vae_params)
+            return {"text": load_clip_text_params, "unet": load_unet_params,
+                    "controlnet": load_controlnet_params,
+                    "vae": load_vae_params}
+
+        params = {}
+        load = loaders() if any(ckpts[c] for c in models) else None
+        for name, model in models.items():
+            path = ckpts[name]
+            if path:
+                t0 = time.time()
+                params[name] = load[name](path, model, example_args[name])
+                print(f"[inpaint] converted {name} from {path} "
+                      f"({time.time() - t0:.1f}s)")
+            else:
+                if models_dir:
+                    print(f"[inpaint] WARNING: no {name} checkpoint under "
+                          f"{models_dir} — using placeholder params "
+                          "(outputs will be noise)")
+                params[name] = _placeholder_params(model, *example_args[name])
+        tokenizer = CLIPTokenizer(vocab_path=ckpts["clip_vocab"],
+                                  merges_path=ckpts["clip_merges"])
+        return ControlNetInpaintPipeline(params, d, dtype=dtype,
+                                         tokenizer=tokenizer)
+
+    def pipe():
         if "pipe" not in state:
             state["pipe"] = make_pipe()
             state["fn"] = state["pipe"].inpaint_fn()
+        return state["pipe"]
+
+    def inpaint_func(image, mask):
+        pipe()
         return state["fn"](image, mask)
 
-    return Inpainter(inpaint_func)
+    def single_layer_func(image, mask, prompt):
+        """Text-guided single-layer edit: reference
+        inpaint_single_layer.py:10-85 — user prompt, fixed negative, cfg 7.0,
+        cond 0.6, 30 steps, seed 3, ONE pass, no sketch postprocess; result
+        resized back to the input size."""
+        from PIL import Image as PILImage
+
+        from inklayer_tpu.pipeline.inpaint.prepost import (
+            preprocess_image, preprocess_mask)
+        p = pipe()
+        img = preprocess_image(image, enhance_contrast=True, denoise=True)
+        msk = preprocess_mask(mask, dilate_iterations=1, blur_radius=1)
+        out = p.generate(
+            img, msk, prompt=prompt,
+            negative_prompt=cfg.diffusion.single_layer_negative_prompt,
+            guidance_scale=cfg.diffusion.single_layer_guidance_scale,
+            cond_scale=cfg.diffusion.single_layer_controlnet_scale,
+            num_passes=1)
+        return out.resize(image.size, PILImage.LANCZOS)
+
+    return Inpainter(inpaint_func, single_layer_func=single_layer_func)

@@ -182,13 +182,22 @@ class DiffusionConfig:
     controlnet_scale: float = 1.2
     seed: int = 3
     num_passes: int = 2
+    # reference-exact prompt strings (inpaint_ControlNet.py:141-143)
     prompt: str = (
-        "A complete clean black and white 2D line sketch drawing, "
-        "high quality details, completed shapes"
+        "high quality black and white line drawing, clean precise lines, "
+        "detailed sketch, professional illustration, sharp edges"
     )
     negative_prompt: str = (
-        "photorealistic, color, shading, gradient, blurry, incomplete, "
-        "cropped, text, watermark"
+        "blurry, smudged, messy lines, low quality, artifacts, noise, "
+        "distorted, pixelated"
+    )
+    # single-layer web edit path (inpaint_single_layer.py:52-61):
+    # user prompt, same negative, cfg 7.0, cond 0.6, ONE pass
+    single_layer_guidance_scale: float = 7.0
+    single_layer_controlnet_scale: float = 0.6
+    single_layer_negative_prompt: str = (
+        "blurry, smudged, messy lines, low quality, artifacts, noise, "
+        "distorted, pixelated"
     )
     # UNet dims (SD1.5)
     unet_block_channels: tuple[int, ...] = (320, 640, 1280, 1280)

@@ -64,7 +64,12 @@ def clean_state_dict(state_dict: dict) -> dict:
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if path.endswith(".safetensors"):
+        from safetensors.torch import load_file
+
+        obj = load_file(path)
+    else:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict):
         for key in ("model", "state_dict", "module"):
             if key in obj and isinstance(obj[key], dict):

@@ -172,8 +172,10 @@ class DepthEstimator:
         self._jit = cached_jit(lambda p, x: self.model.apply(p, x),
                                name="depth_infer")
 
-    def infer_image(self, image: np.ndarray) -> np.ndarray:
-        """image: (H, W, 3) uint8 RGB -> (H, W) float32 relative depth."""
+    def infer_image_device(self, image) -> jnp.ndarray:
+        """image: (H, W, 3) uint8 RGB (host or device) -> (H, W) float32
+        relative depth, LEFT ON DEVICE (the depth-sort stage consumes it
+        there; quantized readback only for the depth_map.png contract)."""
         h, w = image.shape[:2]
         bh, bw = depth_bucket(h, w, self.cfg)
         x = jnp.asarray(image).astype(jnp.float32) / 255.0
@@ -182,4 +184,8 @@ class DepthEstimator:
         depth = self._jit(self.params, x[None])[0]
         # F.interpolate(..., align_corners=True) in infer_image (dpt.py:190)
         out = resize_align_corners(depth[None, ..., None], (h, w))[0]
-        return np.asarray(out[..., 0])
+        return out[..., 0]
+
+    def infer_image(self, image: np.ndarray) -> np.ndarray:
+        """image: (H, W, 3) uint8 RGB -> (H, W) float32 relative depth."""
+        return np.asarray(self.infer_image_device(image))

@@ -127,15 +127,20 @@ class CLIPTokenizer:
         self.byte_encoder = _bytes_to_unicode()
         self.vocab = None
         self.bpe_ranks = {}
+        self.bos = self.BOS
+        self.eos = self.EOS
         if vocab_path and os.path.exists(vocab_path):
             with open(vocab_path, encoding="utf-8") as f:
                 self.vocab = json.load(f)
+            self.bos = self.vocab.get("<|startoftext|>", self.BOS)
+            self.eos = self.vocab.get("<|endoftext|>", self.EOS)
         if merges_path and os.path.exists(merges_path):
             with open(merges_path, encoding="utf-8") as f:
                 merges = f.read().split("\n")
             merges = [m for m in merges if m and not m.startswith("#")]
             self.bpe_ranks = {tuple(m.split()): i for i, m in enumerate(merges)}
         self._cache = {}
+        self._warned_fallback = False
 
     def _bpe(self, token: str) -> List[str]:
         if token in self._cache:
@@ -161,6 +166,12 @@ class CLIPTokenizer:
         return word
 
     def encode(self, text: str, max_len: int = 77) -> np.ndarray:
+        if self.vocab is None and text and not self._warned_fallback:
+            self._warned_fallback = True
+            print("[tokenizer] WARNING: no CLIP vocab.json/merges.txt "
+                  "provided — prompt ids are deterministic hashes, NOT real "
+                  "CLIP ids (fine for placeholder weights only).  Fetch them "
+                  "with scripts/download_checkpoints.sh.")
         text = re.sub(r"\s+", " ", text.lower().strip())
         ids: List[int] = []
         for tok in _PAT.findall(text):
@@ -169,9 +180,12 @@ class CLIPTokenizer:
                 if self.vocab is not None:
                     ids.append(self.vocab.get(piece, 0))
                 else:
-                    # deterministic placeholder id (no vocab file present)
-                    ids.append(hash(piece) % 49000 + 300)
-        ids = [self.BOS] + ids[: max_len - 2] + [self.EOS]
+                    # deterministic placeholder id (no vocab file present);
+                    # crc32 is stable across processes (str hash is seeded)
+                    import zlib
+
+                    ids.append(zlib.crc32(piece.encode()) % 49000 + 300)
+        ids = [self.bos] + ids[: max_len - 2] + [self.eos]
         # CLIP pads with EOS
-        ids = ids + [self.EOS] * (max_len - len(ids))
+        ids = ids + [self.eos] * (max_len - len(ids))
         return np.asarray([ids], np.int32)

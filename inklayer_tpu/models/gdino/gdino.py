@@ -187,6 +187,15 @@ class GDinoDetector:
         """image: (H, W, 3) uint8 RGB.  Returns dict with normalized cxcywh
         'boxes' (N, 4), 'scores' (N,), 'token_logits' (N, T) for detections
         above threshold (N <= max_boxes)."""
+        return self.detect_dispatch(image, caption, box_threshold)()
+
+    def detect_dispatch(self, image: np.ndarray,
+                        caption: Optional[str] = None,
+                        box_threshold: Optional[float] = None):
+        """Async half of detect(): enqueues the device forward and returns a
+        zero-arg finalizer that blocks on the readback + thresholding.  Used
+        for cross-stage pipelining in directory sweeps (dispatch GDINO for
+        image i+1 while image i is in SAM / host IO)."""
         c = self.cfg
         cap = self._caption(caption)
         thresh = c.box_threshold if box_threshold is None else box_threshold
@@ -195,9 +204,13 @@ class GDinoDetector:
         scores, boxes, tok_logits = self._jit(
             self.params, pre[None], jnp.asarray(pad_mask[None]), ids, attn,
             pos)
-        return self._threshold(
-            np.asarray(scores[0]), np.asarray(boxes[0], np.float64),
-            np.asarray(tok_logits[0]), np.asarray(ids[0]), cap, thresh)
+
+        def finalize():
+            return self._threshold(
+                np.asarray(scores[0]), np.asarray(boxes[0], np.float64),
+                np.asarray(tok_logits[0]), np.asarray(ids[0]), cap, thresh)
+
+        return finalize
 
     def detect_batch(self, images, caption: Optional[str] = None,
                      box_threshold: Optional[float] = None):

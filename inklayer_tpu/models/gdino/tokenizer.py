@@ -48,19 +48,34 @@ def _is_punct(ch: str) -> bool:
     return unicodedata.category(ch).startswith("P")
 
 
+def _is_control(ch: str) -> bool:
+    if ch in ("\t", "\n", "\r"):
+        return False
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_cjk(cp: int) -> bool:
+    return ((0x4E00 <= cp <= 0x9FFF) or (0x3400 <= cp <= 0x4DBF)
+            or (0x20000 <= cp <= 0x2A6DF) or (0x2A700 <= cp <= 0x2B73F)
+            or (0x2B740 <= cp <= 0x2B81F) or (0x2B820 <= cp <= 0x2CEAF)
+            or (0xF900 <= cp <= 0xFAFF) or (0x2F800 <= cp <= 0x2FA1F))
+
+
 class WordPieceTokenizer:
     """BERT basic+wordpiece tokenization (lowercase, accent-strip,
     punctuation split, greedy longest-match-first subwords)."""
 
     def __init__(self, vocab_path: Optional[str] = None,
                  max_input_chars_per_word: int = 100):
-        if vocab_path and os.path.exists(vocab_path):
+        self.full_vocab = bool(vocab_path and os.path.exists(vocab_path))
+        if self.full_vocab:
             self.vocab = {}
             with open(vocab_path, encoding="utf-8") as f:
                 for i, line in enumerate(f):
                     self.vocab[line.rstrip("\n")] = i
         else:
             self.vocab = dict(_EMBEDDED_VOCAB)
+        self._warned_fallback = False
         self.unk_id = self.vocab.get("[UNK]", 100)
         self.cls_id = self.vocab.get("[CLS]", 101)
         self.sep_id = self.vocab.get("[SEP]", 102)
@@ -69,13 +84,27 @@ class WordPieceTokenizer:
         self._inv = None
 
     # -- basic tokenizer ---------------------------------------------------
+    # exact HF BertTokenizer BasicTokenizer semantics (do_lower_case=True,
+    # tokenize_chinese_chars=True): clean control chars, space out CJK,
+    # lowercase + strip accents (NFD, drop Mn), split on punctuation.
     def _basic(self, text: str) -> List[str]:
-        text = unicodedata.normalize("NFD", text.lower())
+        cleaned = []
+        for ch in text:
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD or _is_control(ch):
+                continue
+            if _is_cjk(cp):
+                cleaned.append(f" {ch} ")
+            elif ch.isspace():
+                cleaned.append(" ")
+            else:
+                cleaned.append(ch)
+        text = unicodedata.normalize("NFD", "".join(cleaned).lower())
         text = "".join(c for c in text if unicodedata.category(c) != "Mn")
         out: List[str] = []
         word = ""
         for ch in text:
-            if ch.isspace():
+            if ch == " ":
                 if word:
                     out.append(word)
                     word = ""
@@ -116,8 +145,20 @@ class WordPieceTokenizer:
     def encode(self, text: str, max_len: int = 256,
                add_special: bool = True) -> List[int]:
         ids: List[int] = []
+        fallback_miss = False
         for tok in self._basic(text):
-            ids.extend(self._wordpiece(tok))
+            piece_ids = self._wordpiece(tok)
+            if (not self.full_vocab and tok not in self.vocab
+                    and not (len(tok) == 1 and _is_punct(tok))):
+                fallback_miss = True
+            ids.extend(piece_ids)
+        if fallback_miss and not self._warned_fallback:
+            self._warned_fallback = True
+            print("[tokenizer] WARNING: caption contains words outside the "
+                  "embedded vocab fragment and no bert-base-uncased vocab.txt "
+                  "was provided — token ids will NOT match HF for this "
+                  "caption.  Fetch vocab.txt (scripts/download_checkpoints.sh)"
+                  " and pass vocab_path/models_dir.")
         if add_special:
             ids = [self.cls_id] + ids[: max_len - 2] + [self.sep_id]
         return ids

@@ -64,6 +64,8 @@ def _rel_term(qg: jax.Array, table: jax.Array, axis: int) -> jax.Array:
     One MXU-friendly fat matmul P = qg @ table^T (lane = 2s-1) followed by
     static diagonal slices — replaces the per-row (s, c) @ (c, s) einsum that
     lowers to thousands of 14-lane matmuls in the 14x14-window blocks.
+    (A take_along_axis diagonal gather is NOT faster: it lowers to a real
+    gather that costs ~8x the whole encoder on v5e — measured 2026-08-16.)
     """
     s = qg.shape[axis]
     p = jnp.einsum("bnhwc,rc->bnhwr", qg, table.astype(qg.dtype))
@@ -97,6 +99,18 @@ class Attention(nn.Module):
         scale = head_dim ** -0.5
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+
+        n_tokens = h * w
+        on_tpu = jax.default_backend() == "tpu"
+        if (self.use_flash and on_tpu and n_tokens >= 1024
+                and self.use_rel_pos and head_dim <= 128):
+            # Fused token-major global attention: rel bias computed inside the
+            # kernel, operands stay in the layout the qkv dense produces (the
+            # fold-to-(B*H,N,D) path forces ~9ms/block of XLA layout copies
+            # at the Pallas boundary on v5e — measured scripts/ablate_sam4.py)
+            out = self._fused_global(qkv, h, w, head_dim, scale)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
         q, k, v = jnp.moveaxis(qkv, 2, 0)  # each (b, hw, heads, hd)
         q = q.transpose(0, 2, 1, 3)  # (b, heads, hw, hd)
         k = k.transpose(0, 2, 1, 3)
@@ -168,6 +182,44 @@ class Attention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
+    def _fused_global(self, qkv, h, w, head_dim, scale):
+        """Token-major fused global attention (ops.attention
+        sam_global_attention): no (B*H, N, D) transposes, rel bias expanded
+        on the MXU inside the kernel."""
+        from inklayer_tpu.ops.attention import sam_global_attention
+
+        b, n = qkv.shape[0], h * w
+        rel_pos_h = self.param(
+            "rel_pos_h", nn.initializers.zeros,
+            (2 * self.input_size[0] - 1, head_dim))
+        rel_pos_w = self.param(
+            "rel_pos_w", nn.initializers.zeros,
+            (2 * self.input_size[1] - 1, head_dim))
+        rh_tab = _gather_rel_pos(rel_pos_h, h, h).astype(self.dtype)
+        rw_tab = _gather_rel_pos(rel_pos_w, w, w).astype(self.dtype)
+        # bias terms from UNSCALED q (reference scales q@k only)
+        qg = qkv[:, :, 0].reshape(b, h, w, self.num_heads, head_dim)
+        rel_h = jnp.einsum("bijhc,ikc->bhijk", qg, rh_tab).reshape(
+            b, self.num_heads, n, h)
+        rel_w = jnp.einsum("bijhc,jkc->bhijk", qg, rw_tab).reshape(
+            b, self.num_heads, n, w)
+        pad = 128 - head_dim
+        qkv_p = jnp.pad(qkv, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad))) \
+            if pad > 0 else qkv
+        hp = qkv_p.shape[-1]
+        q2 = qkv_p[:, :, 0].reshape(b, n, self.num_heads * hp)
+        k2 = qkv_p[:, :, 1].reshape(b, n, self.num_heads * hp)
+        v2 = qkv_p[:, :, 2].reshape(b, n, self.num_heads * hp)
+
+        def one(q2b, k2b, v2b, rhb, rwb):
+            return sam_global_attention(
+                q2b, k2b, v2b, rhb, rwb, scale=scale, kh=h, kw=w,
+                heads=self.num_heads)
+
+        out2 = jax.vmap(one)(q2, k2, v2, rel_h, rel_w)
+        out = out2.reshape(b, n, self.num_heads, hp)[..., :head_dim]
+        return out.reshape(b, h, w, self.dim)
+
 
 class Block(nn.Module):
     dim: int
@@ -176,28 +228,35 @@ class Block(nn.Module):
     window_size: int = 14  # 0 = global attention
     input_size: Tuple[int, int] = (64, 64)
     use_rel_pos: bool = True
+    use_flash: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        # token-major (B, N, C) residual stream: the 4D spatial tensor only
+        # exists transiently around the attention — a global-attention block
+        # in the graph otherwise flips the 4D layout model-wide and every
+        # LN/elementwise op pays transposes (perfetto-profiled on v5e)
+        b, h, w, c = x.shape
+        x = x.reshape(b, h * w, c)
         shortcut = x
-        x = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = y.reshape(b, h, w, c)
         if self.window_size > 0:
-            h, w = x.shape[1], x.shape[2]
-            x, padded_hw = window_partition(x, self.window_size)
+            y, padded_hw = window_partition(y, self.window_size)
             attn_size = (self.window_size, self.window_size)
         else:
             attn_size = self.input_size
-        x = Attention(
+        y = Attention(
             dim=self.dim, num_heads=self.num_heads, input_size=attn_size,
-            use_rel_pos=self.use_rel_pos,
-            dtype=self.dtype, name="attn")(x)
+            use_rel_pos=self.use_rel_pos, use_flash=self.use_flash,
+            dtype=self.dtype, name="attn")(y)
         if self.window_size > 0:
-            x = window_unpartition(x, self.window_size, padded_hw, (h, w))
-        x = shortcut + x
+            y = window_unpartition(y, self.window_size, padded_hw, (h, w))
+        x = shortcut + y.reshape(b, h * w, c)
         y = LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = MLP(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(y)
-        return x + y
+        return (x + y).reshape(b, h, w, c)
 
 
 class ImageEncoderViT(nn.Module):
@@ -211,6 +270,7 @@ class ImageEncoderViT(nn.Module):
     window_size: int = 14
     global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
     use_rel_pos: bool = True  # ablation knob; SAM checkpoints require True
+    use_flash: bool = True  # ablation knob: global blocks via Pallas kernel
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
@@ -235,6 +295,7 @@ class ImageEncoderViT(nn.Module):
                 window_size=0 if i in self.global_attn_indexes else self.window_size,
                 input_size=(grid, grid),
                 use_rel_pos=self.use_rel_pos,
+                use_flash=self.use_flash,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x)

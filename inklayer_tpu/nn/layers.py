@@ -62,13 +62,21 @@ class LayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
+        shape = x.shape
+        # canonicalize to 2D (tokens, channels): a global-attention block in
+        # the same graph otherwise flips the 4D activation layout and every
+        # LN reduction becomes ~4x slower and unfused (measured ~0.84ms vs
+        # 0.15ms per LN on v5e, scripts/ablate_ln.py + perfetto traces)
+        if x.ndim != 2:
+            x = x.reshape(-1, shape[-1])
         x = x.astype(jnp.float32)
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
         x = (x - mean) * jax.lax.rsqrt(var + self.eps)
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        return (x * scale + bias).astype(orig_dtype)
+        out = (x * scale + bias).astype(orig_dtype)
+        return out.reshape(shape)
 
 
 class DropPath(nn.Module):

@@ -208,6 +208,95 @@ def flash_attention(
     return out[:, :nq, :d]
 
 
+def _global_relpos_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
+                          scale: float, kh: int, kw: int):
+    """SAM global attention for ONE (head, q-block): operands arrive in the
+    natural (tokens, head-slot) layout (no transposes outside), rel bias is
+    expanded on the MXU in bf16.  q/k/v refs: (bq|nk, 128) head slices."""
+    q = q_ref[...]  # (bq, 128)
+    k = k_ref[...]  # (nk, 128)
+    v = v_ref[...]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, nk)
+    rh = rh_ref[0]  # (bq, kh)
+    rw = rw_ref[0]  # (bq, kw)
+    nk = kh * kw
+    col = jax.lax.broadcasted_iota(jnp.int32, (kh, nk), 1)
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (kh, nk), 0)
+    expand_h = (col // kw == row_h).astype(jnp.bfloat16)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (kw, nk), 1)
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (kw, nk), 0)
+    expand_w = (col_w % kw == row_w).astype(jnp.bfloat16)
+    s = s + jax.lax.dot_general(
+        rh.astype(jnp.bfloat16), expand_h, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s + jax.lax.dot_general(
+        rw.astype(jnp.bfloat16), expand_w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "kh", "kw", "heads",
+                                             "block_q", "interpret"))
+def sam_global_attention(
+    q2: jax.Array,  # (N, heads*128) — head slices padded to 128 lanes
+    k2: jax.Array,
+    v2: jax.Array,
+    rel_h: jax.Array,  # (heads, N, kh) decomposed rel-pos terms (q . table)
+    rel_w: jax.Array,  # (heads, N, kw)
+    *,
+    scale: float,
+    kh: int,
+    kw: int,
+    heads: int,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused global attention in the token-major layout.
+
+    The fold-to-(B*H, N, D) layout of `flash_attention` forces XLA to
+    materialize transposed copies at the Pallas boundary (~9ms/block on v5e
+    through this model); here operands keep the (tokens, features) layout the
+    surrounding denses produce, and the grid walks (head, q-block) with the
+    head selected by a 128-aligned lane offset.  N == kh*kw."""
+    n = q2.shape[0]
+    assert n == kh * kw and q2.shape[1] == heads * 128
+    nq_p = ((n + block_q - 1) // block_q) * block_q
+    if nq_p != n:
+        q2 = jnp.pad(q2, ((0, nq_p - n), (0, 0)))
+        rel_h = jnp.pad(rel_h, ((0, 0), (0, nq_p - n), (0, 0)))
+        rel_w = jnp.pad(rel_w, ((0, 0), (0, nq_p - n), (0, 0)))
+    grid = (heads, nq_p // block_q)
+    kernel = functools.partial(_global_relpos_kernel, scale=scale, kh=kh,
+                               kw=kw)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nq_p, heads * 128), q2.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, 128), lambda h, j: (j, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 128), lambda h, j: (0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 128), lambda h, j: (0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, kh), lambda h, j: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, kw), lambda h, j: (h, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_q, 128), lambda h, j: (j, h),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q2, k2, v2, rel_h, rel_w)
+    return out[:n]
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"

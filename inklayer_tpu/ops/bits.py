@@ -44,6 +44,36 @@ def masks_to_host(masks_dev: jax.Array) -> np.ndarray:
     return unpack_bits_host(packed, w)
 
 
+@jax.jit
+def _label_map_u8(masks: jax.Array):
+    """(N, H, W) bool -> ((H, W) uint8 label map with 0 = background and
+    i+1 = mask i, scalar disjoint-ok flag).  For DISJOINT mask stacks this is
+    an 8x smaller readback than even the bit-packed planes (1 byte/px vs
+    N/8 bytes/px)."""
+    n = masks.shape[0]
+    idx = jnp.arange(1, n + 1, dtype=jnp.int32)[:, None, None]
+    lab = jnp.max(jnp.where(masks, idx, 0), axis=0)
+    ok = (masks.astype(jnp.int32).sum(axis=0) <= 1).all()
+    return lab.astype(jnp.uint8), ok
+
+
+def disjoint_masks_to_host(masks_dev: jax.Array) -> np.ndarray:
+    """Device (N, H, W) bool DISJOINT masks -> host bool via a single uint8
+    label-map transfer (masks_disjoint / masks_final stages — disjoint by
+    construction).  Falls back to the packed-bits path when masks overlap or
+    N > 255."""
+    n = masks_dev.shape[0]
+    if n == 0:
+        return np.zeros(masks_dev.shape, bool)
+    if n > 255:
+        return masks_to_host(masks_dev)
+    lab, ok = _label_map_u8(masks_dev)
+    if not bool(ok):
+        return masks_to_host(masks_dev)
+    lab = np.asarray(lab)
+    return lab[None, :, :] == np.arange(1, n + 1, dtype=np.uint8)[:, None, None]
+
+
 def masks_to_device(masks_np: np.ndarray) -> jax.Array:
     """Host bool -> device bool via packed upload."""
     if masks_np.size == 0:

@@ -99,10 +99,22 @@ def composite_original_onto_inpainted(
 
 class Inpainter:
     """Pluggable inpainting stage.  `inpaint_func(image PIL, mask PIL) -> PIL`
-    is the diffusion backend (models.diffusion pipeline, or any callable)."""
+    is the diffusion backend (models.diffusion pipeline, or any callable).
 
-    def __init__(self, inpaint_func: Callable):
+    `single_layer_func(image PIL, mask PIL, prompt str) -> PIL` is the
+    text-guided web-edit backend (reference inpaint_single_layer.py:10-85:
+    user prompt, cfg 7.0, cond 0.6, ONE pass, no sketch postprocess)."""
+
+    def __init__(self, inpaint_func: Callable,
+                 single_layer_func: Optional[Callable] = None):
         self.inpaint_func = inpaint_func
+        self.single_layer_func = single_layer_func
+
+    def inpaint_single_layer(self, image: Image.Image, mask: Image.Image,
+                             prompt: str) -> Image.Image:
+        if self.single_layer_func is not None:
+            return self.single_layer_func(image, mask, prompt)
+        return self.inpaint_func(image, mask)
 
     def run_on_sketch_dir(self, sketch_dir: str) -> str:
         masks_dir = os.path.join(sketch_dir, "masks_final")

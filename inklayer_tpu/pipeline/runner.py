@@ -33,6 +33,24 @@ def _to_gray(rgb: np.ndarray) -> np.ndarray:
     return np.asarray(Image.fromarray(rgb).convert("L"))
 
 
+def _quantize_depth(depth):
+    """Device (H, W) float depth -> uint8 0-255 normalized ON DEVICE
+    (refiner.py:419-423 normalization), so the depth_map.png contract costs a
+    4x-smaller readback than the float map."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def q(d):
+        lo, hi = d.min(), d.max()
+        rng = hi - lo
+        norm = jnp.where(rng > 0, (d - lo) / jnp.maximum(rng, 1e-12) * 255.0,
+                         jnp.zeros_like(d))
+        return norm.astype(jnp.uint8)
+
+    return q(depth)
+
+
 @dataclass
 class StageTimes:
     times: Dict[str, float] = field(default_factory=dict)
@@ -105,8 +123,18 @@ class InkLayerPipeline:
         try:
             if batch_size > 1:
                 self._prefill_batches(paths, batch_size)
-            outs = [self.run(p, out_base_dir, no_intermediate, inpaint)
-                    for p in paths]
+            outs = []
+            for i, p in enumerate(paths):
+                # cross-stage device pipelining: enqueue GDINO for image i+1
+                # NOW so it executes while image i is in SAM/refine readbacks
+                # and PNG IO (jax async dispatch fills the host-side gaps)
+                nxt = paths[i + 1] if i + 1 < len(paths) else None
+                if nxt is not None and nxt not in self._det_cache:
+                    img_next = np.asarray(Image.open(nxt).convert("RGB"))
+                    self._det_cache[nxt] = \
+                        self.detector.detect_dispatch(img_next)
+                outs.append(self.run(p, out_base_dir, no_intermediate,
+                                     inpaint))
         finally:
             self.drain()
             self.async_io = False
@@ -144,11 +172,20 @@ class InkLayerPipeline:
         out_dir = io_out.prepare_out_dir(out_base_dir, input_name)
         image_pil.save(os.path.join(out_dir, "input.png"))
 
+        # single host->device upload of the input image; every stage's
+        # jnp.asarray(image) is then a no-op (the tunnel makes repeated
+        # uploads of the same pixels the next-biggest IO cost after masks)
+        import jax.numpy as _jnp
+
+        image_dev = _jnp.asarray(image)
+
         # ---- detection -------------------------------------------------
         t0 = time.perf_counter()
         det = self._det_cache.get(input_path)
+        if callable(det):  # pipelined dispatch from run_dir — finalize now
+            det = det()
         if det is None:
-            det = self.detector.detect(image)
+            det = self.detector.detect(image_dev)
         self.stage_times.add("detect", time.perf_counter() - t0)
         boxes_cxcywh = det["boxes"]  # normalized
         scores = det["scores"]
@@ -178,7 +215,7 @@ class InkLayerPipeline:
             if state is not None:
                 self.sam.set_image_state(state)
             else:
-                self.sam.set_image(image)
+                self.sam.set_image(image_dev)
             masks_dev, _iou = self.sam.predict_device(boxes_abs)
         else:
             masks_dev = jnp.zeros((0, h, w), bool)
@@ -244,8 +281,11 @@ class InkLayerPipeline:
             os.path.join(out_dir, "bboxes_final.png"))
 
         # ---- depth + refinement ------------------------------------------
+        # depth stays on device: the depth-sort consumes it there and the
+        # depth_map.png contract needs only a quantized uint8 readback
         t0 = time.perf_counter()
-        depth = self.depth.infer_image(image)
+        depth = self.depth.infer_image_device(image_dev)
+        depth_u8 = _quantize_depth(depth)
         self.stage_times.add("depth", time.perf_counter() - t0)
 
         t0 = time.perf_counter()
@@ -266,21 +306,26 @@ class InkLayerPipeline:
             gray, cfg.refine)
         self.stage_times.add("refine", time.perf_counter() - t0)
 
-        def write_final_outputs(disjoint_dev_, final_dev_, depth_):
+        def write_final_outputs(disjoint_dev_, final_dev_, depth_u8_):
             # masks_disjoint is needed on disk when inpainting runs (the
-            # per-layer assembly and the web single-layer editor read it)
+            # per-layer assembly and the web single-layer editor read it).
+            # Both stacks are disjoint by construction -> single uint8
+            # label-map transfers (8x less tunnel traffic than bit-planes).
+            from inklayer_tpu.ops.bits import disjoint_masks_to_host
+
             if not no_intermediate or inpaint:
-                io_out.save_masks_dir(masks_to_host(disjoint_dev_),
+                io_out.save_masks_dir(disjoint_masks_to_host(disjoint_dev_),
                                       os.path.join(out_dir, "masks_disjoint"))
-            final_masks = masks_to_host(final_dev_)
+            final_masks = disjoint_masks_to_host(final_dev_)
             io_out.save_masks_dir(final_masks,
                                   os.path.join(out_dir, "masks_final"))
-            io_out.save_depth_map(depth_, os.path.join(out_dir, "depth_map.png"))
+            Image.fromarray(np.asarray(depth_u8_)).convert("RGB").save(
+                os.path.join(out_dir, "depth_map.png"))
             final_seg = color_sketch_by_masks(image, list(final_masks))
             Image.fromarray(final_seg).save(
                 os.path.join(out_dir, "segmented_sketch_final.png"))
 
-        self._submit(write_final_outputs, disjoint_dev, final_dev, depth)
+        self._submit(write_final_outputs, disjoint_dev, final_dev, depth_u8)
 
         # ---- inpainting ---------------------------------------------------
         if inpaint:

@@ -117,8 +117,15 @@ class InkLayerApp:
             return self.inpaint(req)
         if req.path == "/get-images" and req.method == "GET":
             return self.get_images()
+        if req.path.startswith("/get-images/") and req.method == "GET":
+            return self.get_layers_for(req.path.split("/get-images/", 1)[1])
         if req.path == "/get-demos" and req.method == "GET":
             return self.get_demos()
+        if req.path.startswith("/demo-image/") and req.method == "GET":
+            name = os.path.basename(req.path.split("/demo-image/", 1)[1])
+            return self._serve_file(os.path.join(self.demo_dir, name))
+        if req.path == "/use-demo" and req.method == "POST":
+            return self.use_demo(req)
         return self._json_resp({"error": "not found"}, "404 Not Found")
 
     # ------------------------------------------------------------------
@@ -241,8 +248,10 @@ class InkLayerApp:
             if inpainter is None:
                 return self._json_resp({"error": "inpainting not configured"},
                                        "500 Internal Server Error")
-            result = inpainter.inpaint_func(
-                image, Image.fromarray(rect.astype(np.uint8) * 255))
+            # text-guided single-layer edit: user prompt, cfg 7.0, cond 0.6,
+            # one pass (reference inpaint_single_layer.py:52-61)
+            result = inpainter.inpaint_single_layer(
+                image, Image.fromarray(rect.astype(np.uint8) * 255), prompt)
         # RGBA restricted to the mask (inpaint_single_layer.py:70-85)
         arr = np.asarray(result.convert("RGB"))
         rgba = np.dstack([arr, (rect * 255).astype(np.uint8)])
@@ -259,8 +268,46 @@ class InkLayerApp:
         return self._json_resp({
             "images": [f"/static/uploads/{os.path.basename(f)}" for f in files]})
 
+    @property
+    def demo_dir(self) -> str:
+        return os.environ.get("INKLAYER_DEMO_DIR", "/root/reference/data")
+
     def get_demos(self):
-        demo_dir = "/root/reference/data"
-        files = sorted(glob.glob(os.path.join(demo_dir, "*.png"))) \
-            if os.path.exists(demo_dir) else []
+        files = sorted(glob.glob(os.path.join(self.demo_dir, "*.png"))) \
+            if os.path.exists(self.demo_dir) else []
         return self._json_resp({"demos": [os.path.basename(f) for f in files]})
+
+    def get_layers_for(self, name: str):
+        """Precomputed layers of an already-processed image (the reference
+        frontend's demo flow, canvas_ui.js fetchGetDemoImages :456)."""
+        name = os.path.basename(name).rsplit(".", 1)[0]
+        urls = sorted(
+            glob.glob(os.path.join(self.output_dir, name,
+                                   "complete_layers_rgba", "layer_*.png")),
+            key=lambda p: int(p.split("layer_")[1].split(".")[0]))
+        if not urls:  # no inpainted layers yet: serve the final masks view
+            urls = sorted(
+                glob.glob(os.path.join(self.output_dir, name, "masks_final",
+                                       "mask_*.png")),
+                key=lambda p: int(p.split("mask_")[1].split(".")[0]))
+        urls = [u.replace(self.root_dir, "") for u in urls][::-1]
+        return self._json_resp({"layers": urls, "image_name": name})
+
+    def use_demo(self, req: Request):
+        """Copy a demo sketch into uploads so the normal pipeline flows
+        apply to it."""
+        import shutil
+
+        data = req.json()
+        name = os.path.basename(str(data.get("name", "")))
+        src = os.path.join(self.demo_dir, name)
+        if not name or not os.path.exists(src):
+            return self._json_resp({"error": f"demo not found: {name}"},
+                                   "404 Not Found")
+        os.makedirs(self.upload_dir, exist_ok=True)
+        dst = os.path.join(self.upload_dir, name)
+        shutil.copyfile(src, dst)
+        return self._json_resp({
+            "filename": name,
+            "file_path": dst.replace(self.root_dir, "").lstrip("/"),
+        })

@@ -17,7 +17,17 @@ echo "InkLayer fine-tuned GroundingDINO ..."
 wget -nc -O "$DEST/inklayer_gdino.pth" \
   "https://huggingface.co/miatang13/InkLayer/resolve/main/inklayer_gdino.pth"
 
+echo "Tokenizer data (exact ids for arbitrary captions/prompts) ..."
+mkdir -p "$DEST/bert-base-uncased" "$DEST/clip-vit-large-patch14"
+wget -nc -O "$DEST/bert-base-uncased/vocab.txt" \
+  "https://huggingface.co/google-bert/bert-base-uncased/resolve/main/vocab.txt"
+wget -nc -O "$DEST/clip-vit-large-patch14/vocab.json" \
+  "https://huggingface.co/openai/clip-vit-large-patch14/resolve/main/vocab.json"
+wget -nc -O "$DEST/clip-vit-large-patch14/merges.txt" \
+  "https://huggingface.co/openai/clip-vit-large-patch14/resolve/main/merges.txt"
+
 echo "SD1.5-inpaint UNet/VAE/text + ControlNet v11p (diffusers layout) ..."
-echo "  (use huggingface-cli: runwayml/stable-diffusion-inpainting," \
-     "lllyasviel/control_v11p_sd15_inpaint, openai/clip-vit-large-patch14" \
-     "(incl. vocab.json/merges.txt for exact tokenization))"
+echo "  (use huggingface-cli: runwayml/stable-diffusion-inpainting ->" \
+     "\$DEST/stable-diffusion-inpainting, lllyasviel/control_v11p_sd15_inpaint" \
+     "-> \$DEST/control_v11p_sd15_inpaint; see" \
+     "inklayer_tpu/build.py resolve_diffusion_checkpoints for the layout)"

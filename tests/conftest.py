@@ -20,8 +20,36 @@ import jax
 # force the CPU backend explicitly
 jax.config.update("jax_platforms", "cpu")
 
+import sys
+
 import numpy as np
 import pytest
+
+# Namespaces the parity tests inject into sys.modules (stubbed third-party
+# deps like timm/torchvision and reference oracles loaded from
+# /root/reference).  Leaked stubs break later tests in the same run — e.g. a
+# fake `timm` without __spec__ makes transformers' importlib.util.find_spec
+# probe raise ValueError when test_bert_parity imports BertModel.
+_ORACLE_ROOTS = frozenset({
+    "timm", "groundingdino", "torchvision", "refsam", "refdav2", "refgd",
+    "segment_anything", "InkLayer", "supervision", "addict", "skimage",
+})
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _isolate_oracle_modules():
+    """Restore sys.modules' oracle/stub namespaces after each test module so
+    one module's fakes can never poison another's imports (ordering bug:
+    round-1 suite had 3 cross-test ERRORs from exactly this)."""
+    before = {k: v for k, v in sys.modules.items()
+              if k.split(".", 1)[0] in _ORACLE_ROOTS}
+    yield
+    for k in [k for k in list(sys.modules)
+              if k.split(".", 1)[0] in _ORACLE_ROOTS]:
+        if k in before:
+            sys.modules[k] = before[k]
+        else:
+            del sys.modules[k]
 
 
 @pytest.fixture()

@@ -65,3 +65,78 @@ def test_attention_dispatch_small(rng):
     out = attention(q, k, v)
     ref = sdpa(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_sam_global_attention_matches_sdpa(rng):
+    """Token-major fused kernel (interpret mode) vs the explicit-bias sdpa
+    oracle: bias[q,(i,j)] = rel_h[q,i] + rel_w[q,j], scale on q@k only."""
+    from inklayer_tpu.ops.attention import sam_global_attention
+
+    heads, kh, kw, hd = 2, 8, 8, 80
+    n = kh * kw
+    scale = hd ** -0.5
+    q = _rand(rng, heads, n, hd)
+    k = _rand(rng, heads, n, hd)
+    v = _rand(rng, heads, n, hd)
+    rh = _rand(rng, heads, n, kh)
+    rw = _rand(rng, heads, n, kw)
+
+    bias = rh[:, :, :, None] + rw[:, :, None, :]  # (h, n, kh, kw)
+    bias = bias.reshape(heads, n, n)
+    ref = sdpa(q[None], k[None], v[None], bias=bias[None], scale=scale)[0]
+
+    pad = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, 128 - hd)))
+    pack = lambda t: pad(t).transpose(1, 0, 2).reshape(n, heads * 128)
+    out2 = sam_global_attention(
+        pack(q), pack(k), pack(v), rh, rw, scale=scale, kh=kh, kw=kw,
+        heads=heads, block_q=32, interpret=True)
+    out = out2.reshape(n, heads, 128)[..., :hd].transpose(1, 0, 2)
+    # kernel expands the bias via bf16 MXU matmuls -> ~1e-3 tolerance
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-2)
+
+
+def test_sam_encoder_fused_path_matches_fallback(rng, monkeypatch):
+    """The fused TPU path and the aug-matmul fallback compute the same
+    attention: fake the backend check, run the kernel in interpret mode."""
+    import sys
+
+    import inklayer_tpu.ops.attention  # noqa: F401 (ensure loaded)
+    from inklayer_tpu.models.sam import image_encoder as ie
+    A = sys.modules["inklayer_tpu.ops.attention"]
+
+    attn = ie.Attention(dim=32, num_heads=2, input_size=(8, 8),
+                        use_rel_pos=True, use_flash=True)
+    x = _rand(rng, 1, 8, 8, 32)
+    params = attn.init(jax.random.key(0), x)
+    # nonzero rel tables so the bias actually matters
+    params = jax.tree.map(
+        lambda a: jnp.asarray(rng.standard_normal(a.shape), a.dtype) * 0.1,
+        params)
+    ref = attn.apply(params, x)  # CPU: sdpa aug-matmul path (n=64 < 1024)
+
+    real = A.sam_global_attention
+    monkeypatch.setattr(
+        A, "sam_global_attention",
+        lambda *a, **k: real(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(ie.jax, "default_backend", lambda: "tpu")
+    # n_tokens >= 1024 gate: drop it to 1 for the test via a tiny shim
+    orig_call = ie.Attention._fused_global
+    out = None
+    try:
+        # force the fused branch by re-evaluating with a lowered gate:
+        # monkeypatch the threshold comparison via the module constant is
+        # not possible (inline literal), so call through a 32x32 input
+        attn_big = ie.Attention(dim=32, num_heads=2, input_size=(32, 32),
+                                use_rel_pos=True, use_flash=True)
+        xb = _rand(rng, 1, 32, 32, 32)
+        pb = attn_big.init(jax.random.key(0), xb)
+        pb = jax.tree.map(
+            lambda a: jnp.asarray(rng.standard_normal(a.shape), a.dtype) * 0.1,
+            pb)
+        out = attn_big.apply(pb, xb)  # fused (1024 tokens, backend faked)
+        monkeypatch.setattr(ie.jax, "default_backend", lambda: "cpu")
+        ref_big = attn_big.apply(pb, xb)  # aug-matmul fallback
+    finally:
+        del orig_call
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_big),
+                               atol=5e-3, rtol=1e-2)

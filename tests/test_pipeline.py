@@ -163,3 +163,44 @@ def test_run_dir_batched_matches_unbatched(tmp_path, rng):
             a = np.asarray(Image.open(os.path.join(da, "masks_final", name)))
             b = np.asarray(Image.open(os.path.join(db, "masks_final", name)))
             np.testing.assert_array_equal(a, b)
+
+
+def test_run_dir_pipelined_matches_sequential(pipeline, tmp_path):
+    """Cross-stage pipelining (GDINO i+1 dispatched during image i) must not
+    change any output: bboxes_final.json and masks_final are identical to
+    strictly sequential run() calls."""
+    paths = []
+    for j in range(3):
+        g = np.full((72, 72, 3), 255, np.uint8)
+        g[8 + j:30 + j, 8:10] = 0
+        g[8 + j:30 + j, 28:30] = 0
+        g[8 + j, 8:30] = 0
+        g[30 + j, 8:30] = 0
+        g[40:60, 40 + j:60 + j] = 20
+        p = tmp_path / f"s{j}.png"
+        Image.fromarray(g).save(p)
+        paths.append(str(p))
+
+    seq_dir = tmp_path / "seq"
+    pipe_dir = tmp_path / "pipe"
+    for p in paths:
+        pipeline.run(p, str(seq_dir))
+    pipeline.drain()
+    pipeline.run_dir(paths, str(pipe_dir))
+
+    for p in paths:
+        name = os.path.basename(p).split(".")[0]
+        with open(os.path.join(seq_dir, name, "bboxes_final.json")) as f:
+            a = json.load(f)
+        with open(os.path.join(pipe_dir, name, "bboxes_final.json")) as f:
+            b = json.load(f)
+        assert a == b, name
+        fa = sorted(os.listdir(os.path.join(seq_dir, name, "masks_final")))
+        fb = sorted(os.listdir(os.path.join(pipe_dir, name, "masks_final")))
+        assert fa == fb, name
+        for m in fa:
+            ma = np.asarray(Image.open(
+                os.path.join(seq_dir, name, "masks_final", m)))
+            mb = np.asarray(Image.open(
+                os.path.join(pipe_dir, name, "masks_final", m)))
+            np.testing.assert_array_equal(ma, mb, err_msg=f"{name}/{m}")

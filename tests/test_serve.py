@@ -182,3 +182,50 @@ def test_serve_micro_batch_factory(tmp_path):
     assert app._pipeline._batched_encoder is not None
     assert app._pipeline.sam.encode_fn is not None
     app._pipeline._batched_encoder.close()
+
+
+def test_demo_gallery_flow(app, tmp_path, monkeypatch):
+    """get-demos -> demo-image -> use-demo copies the sketch into uploads
+    (reference canvas_ui.js demo gallery flow)."""
+    demo_dir = tmp_path / "demos"
+    os.makedirs(demo_dir, exist_ok=True)
+    Image.fromarray(np.full((8, 8, 3), 255, np.uint8)).save(
+        str(demo_dir / "bunny.png"))
+    monkeypatch.setenv("INKLAYER_DEMO_DIR", str(demo_dir))
+
+    status, body = call(app, "GET", "/get-demos")
+    assert status == "200 OK"
+    assert json.loads(body)["demos"] == ["bunny.png"]
+
+    status, body = call(app, "GET", "/demo-image/bunny.png")
+    assert status == "200 OK"
+
+    status, body = call(app, "POST", "/use-demo",
+                        json.dumps({"name": "bunny.png"}).encode())
+    assert status == "200 OK"
+    res = json.loads(body)
+    assert res["filename"] == "bunny.png"
+    assert os.path.exists(os.path.join(app.upload_dir, "bunny.png"))
+    # path traversal is rejected
+    status, _ = call(app, "POST", "/use-demo",
+                     json.dumps({"name": "../secret.png"}).encode())
+    assert status == "404 Not Found"
+
+
+def test_get_layers_for_processed_image(app):
+    """GET /get-images/<name> returns precomputed layers reversed
+    (front-most first), matching the segment-sketch response order."""
+    out = os.path.join(app.output_dir, "scene")
+    os.makedirs(os.path.join(out, "complete_layers_rgba"), exist_ok=True)
+    for i in range(3):
+        Image.fromarray(np.zeros((4, 4, 4), np.uint8)).save(
+            os.path.join(out, "complete_layers_rgba", f"layer_{i}.png"))
+    status, body = call(app, "GET", "/get-images/scene")
+    assert status == "200 OK"
+    res = json.loads(body)
+    ids = [u.split("layer_")[1].split(".")[0] for u in res["layers"]]
+    assert ids == ["2", "1", "0"]
+    # unprocessed image -> empty list, not an error
+    status, body = call(app, "GET", "/get-images/nope")
+    assert status == "200 OK"
+    assert json.loads(body)["layers"] == []
