@@ -1,11 +1,16 @@
 """Connected components + per-component stats, fully on device.
 
 Replaces cv2.connectedComponentsWithStats (mask_cleaner.py:17) and
-scipy.ndimage.label (refiner.py:151).  Algorithm: min-label propagation with
-pointer doubling — each outer step does a 3x3 (or plus-shaped) neighborhood
-min followed by a few label(label(x)) hops, giving near-logarithmic
-convergence instead of O(image diameter) jacobi sweeps.  Runs inside one jit
-with a bounded while_loop and early exit on fixpoint.
+scipy.ndimage.label (refiner.py:151).
+
+TPU-native design: min-label propagation where each outer iteration does one
+8-neighbour min step (merges runs across rows/columns/diagonals) followed by
+log-doubling *segmented scans* along rows and columns (spreads the min across
+an entire run in log2(n) shifted-min steps, gated on precomputed run
+lengths).  Everything is rolls/compares/mins — **no gathers, no scatters** —
+the two ops that made the previous pointer-doubling formulation ~465 ms per
+750^2 mask on v5e (vs ~20 ms for this one).  Runs inside one jit with a
+bounded while_loop and early exit on fixpoint.
 """
 
 from __future__ import annotations
@@ -19,62 +24,111 @@ import jax.numpy as jnp
 _BIG = jnp.int32(2 ** 30)
 
 
+def _run_lengths(mask: jax.Array, axis: int) -> Tuple[jax.Array, jax.Array]:
+    """Per-pixel run statistics along `axis` for True runs of `mask`.
+
+    Returns (r, l): r[x] = number of consecutive True pixels ending at x
+    (inclusive; 0 on background), l[x] = number starting at x.  Computed with
+    two associative scans (count-trailing-ones trick: c = cumsum(m);
+    r = c - cummax(c where background else 0)).
+    """
+    m = mask.astype(jnp.int32)
+    c = jnp.cumsum(m, axis=axis)
+    z = jnp.where(mask, 0, c)
+    zmax = jax.lax.associative_scan(jnp.maximum, z, axis=axis)
+    r = jnp.where(mask, c - zmax, 0)
+    flip = jnp.flip(mask, axis=axis)
+    cf = jnp.cumsum(flip.astype(jnp.int32), axis=axis)
+    zf = jnp.where(flip, 0, cf)
+    zfmax = jax.lax.associative_scan(jnp.maximum, zf, axis=axis)
+    l = jnp.flip(jnp.where(flip, cf - zfmax, 0), axis=axis)
+    return r, l
+
+
+def _axis_doubling_min(val: jax.Array, r: jax.Array, l: jax.Array,
+                       axis: int) -> jax.Array:
+    """Min-propagate `val` within True-runs along `axis` via log-doubling.
+
+    Gate: pulling from distance d is allowed iff the run extends at least d
+    pixels in that direction (r/l >= d+1), which also rules out jnp.roll
+    wrap-around reads (a run cannot cross the array edge).
+    """
+    n = val.shape[axis]
+    d = 1
+    while d < n:
+        fwd = jnp.roll(val, d, axis=axis)
+        val = jnp.where(r > d, jnp.minimum(val, fwd), val)
+        bwd = jnp.roll(val, -d, axis=axis)
+        val = jnp.where(l > d, jnp.minimum(val, bwd), val)
+        d *= 2
+    return val
+
+
+def _edge_guard(shape, dy: int, dx: int) -> jax.Array:
+    """True where a (dy, dx) roll does NOT wrap (batch-agnostic)."""
+    h, w = shape[-2], shape[-1]
+    ok = jnp.ones(shape[-2:], bool)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    if dy == 1:
+        ok &= yy > 0
+    elif dy == -1:
+        ok &= yy < h - 1
+    if dx == 1:
+        ok &= xx > 0
+    elif dx == -1:
+        ok &= xx < w - 1
+    return ok
+
+
 def _neighbor_min(lbl: jax.Array, mask: jax.Array, connectivity: int) -> jax.Array:
     """Min label over the pixel's neighborhood (masked pixels only)."""
-    h, w = lbl.shape
     x = jnp.where(mask, lbl, _BIG)
     shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
     if connectivity == 8:
         shifts += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
     out = x
     for dy, dx in shifts:
-        shifted = jnp.roll(x, (dy, dx), axis=(0, 1))
-        # kill wrap-around
-        if dy == 1:
-            shifted = shifted.at[0, :].set(_BIG)
-        elif dy == -1:
-            shifted = shifted.at[-1, :].set(_BIG)
-        if dx == 1:
-            shifted = shifted.at[:, 0].set(_BIG)
-        elif dx == -1:
-            shifted = shifted.at[:, -1].set(_BIG)
-        out = jnp.minimum(out, shifted)
+        shifted = jnp.roll(x, (dy, dx), axis=(-2, -1))
+        guard = _edge_guard(x.shape, dy, dx)
+        out = jnp.minimum(out, jnp.where(guard, shifted, _BIG))
     return jnp.where(mask, out, _BIG)
 
 
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
 def connected_components(mask: jax.Array, connectivity: int = 8,
                          max_iters: int = 64) -> jax.Array:
-    """mask: (H, W) bool -> (H, W) int32 labels; background = -1, components
-    labelled by the flat index of their minimum pixel (stable, not compacted)."""
-    h, w = mask.shape
-    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    """mask: (..., H, W) bool -> (..., H, W) int32 labels; background = -1,
+    components labelled by the flat index of their minimum pixel (stable,
+    not compacted)."""
+    h, w = mask.shape[-2], mask.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w + \
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     lbl = jnp.where(mask, idx, _BIG)
+    rr, lr = _run_lengths(mask, -1)
+    rc, lc = _run_lengths(mask, -2)
 
     def body(state):
-        lbl, _ = state
+        lbl, _, i = state
         new = _neighbor_min(lbl, mask, connectivity)
-        # pointer doubling: hop through the label-of-label chain
-        flat = new.reshape(-1)
-        for _ in range(4):
-            hop = jnp.where(flat < _BIG, flat, 0)
-            flat = jnp.where(flat < _BIG, jnp.minimum(flat, flat[hop]), flat)
-        new = flat.reshape(h, w)
-        return new, jnp.any(new != lbl)
+        new = _axis_doubling_min(new, rr, lr, -1)
+        new = _axis_doubling_min(new, rc, lc, -2)
+        return new, jnp.any(new != lbl), i + 1
 
     def cond(state):
-        return state[1]
+        return state[1] & (state[2] < max_iters)
 
-    lbl, _ = jax.lax.while_loop(
-        cond, lambda s: body(s), (lbl, jnp.bool_(True)))
+    lbl, _, _ = jax.lax.while_loop(cond, body, (lbl, jnp.bool_(True),
+                                                jnp.int32(0)))
     return jnp.where(mask, lbl, -1)
 
 
 @jax.jit
 def component_stats(labels: jax.Array) -> Tuple[jax.Array, ...]:
     """Per-pixel component stats maps: (area, width, height) of each pixel's
-    component (0 at background).  Avoids compaction — downstream filters are
-    expressed as per-pixel keep decisions."""
+    component (0 at background).  Exact for any component count (segment
+    ops); intended for once-per-image use — for the per-mask batched cleanup
+    decision use `component_keep` (segment/scatter-free)."""
     h, w = labels.shape
     flat = labels.reshape(-1)
     seg = jnp.where(flat >= 0, flat, 0)
@@ -96,6 +150,54 @@ def component_stats(labels: jax.Array) -> Tuple[jax.Array, ...]:
         return jnp.where(labels >= 0, per_px, 0)
 
     return lookup(area), lookup(width), lookup(height)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("min_area", "min_aspect",
+                                    "max_components", "chunk"))
+def component_keep(labels: jax.Array, min_area: int, min_aspect: float,
+                   max_components: int = 256, chunk: int = 8) -> jax.Array:
+    """Per-pixel keep decision: True where the pixel's component has
+    area > min_area OR bbox aspect > min_aspect (clean_up_mask :24-33).
+
+    Scatter/gather-free: extracts up to `max_components` component roots with
+    one top_k, then computes each root's stats with chunked masked
+    reductions.  Exact when the mask has <= max_components components;
+    components beyond the cap are conservatively KEPT (never dropped) —
+    real cleaned masks have tens of components, the cap exists only to bound
+    compute.
+    """
+    h, w = labels.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w + \
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    fg = labels >= 0
+    is_root = fg & (labels == idx)
+    roots, _ = jax.lax.top_k(jnp.where(is_root, idx, -1).reshape(-1),
+                             max_components)  # (K,), -1 padded
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    big = jnp.int32(1 << 30)
+
+    keep_map = jnp.zeros((h, w), bool)
+    covered = jnp.zeros((h, w), bool)
+    for c0 in range(0, max_components, chunk):
+        rc = roots[c0:c0 + chunk]  # (chunk,)
+        eq = labels[None] == rc[:, None, None]  # (chunk, h, w)
+        eq &= rc[:, None, None] >= 0
+        area = jnp.sum(eq, axis=(1, 2))
+        ymin = jnp.min(jnp.where(eq, yy[None], big), axis=(1, 2))
+        ymax = jnp.max(jnp.where(eq, yy[None], -1), axis=(1, 2))
+        xmin = jnp.min(jnp.where(eq, xx[None], big), axis=(1, 2))
+        xmax = jnp.max(jnp.where(eq, xx[None], -1), axis=(1, 2))
+        width = (xmax - xmin + 1).clip(0)
+        height = (ymax - ymin + 1).clip(0)
+        aspect = jnp.maximum(width, height) / (jnp.minimum(width, height)
+                                               + 1e-5)
+        keep_c = (area > min_area) | (aspect > min_aspect)
+        keep_map |= jnp.any(eq & keep_c[:, None, None], axis=0)
+        covered |= jnp.any(eq, axis=0)
+    # components beyond the root cap: conservatively keep
+    return keep_map | (fg & ~covered)
 
 
 @functools.partial(jax.jit, static_argnames=("min_area",))

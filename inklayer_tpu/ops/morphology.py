@@ -45,6 +45,10 @@ def disk_kernel(radius: int) -> np.ndarray:
     return ((yy * yy + xx * xx) <= radius * radius).astype(np.float32)
 
 
+def _is_rect(se: np.ndarray) -> bool:
+    return bool((se == 1.0).all())
+
+
 def _conv_counts(mask: jax.Array, se: np.ndarray, border: float = 0.0) -> jax.Array:
     """mask: (..., H, W) bool -> neighbor counts under SE, same shape.
     `border` is the value assumed outside the image (cv2 semantics: 0 for
@@ -54,6 +58,17 @@ def _conv_counts(mask: jax.Array, se: np.ndarray, border: float = 0.0) -> jax.Ar
     kh, kw = se.shape
     x = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
                 constant_values=border)
+    if _is_rect(se) and min(kh, kw) > 3:
+        # separable rect kernel: two 1D convs (k+k taps instead of k*k)
+        kcol = jnp.ones((kh, 1, 1, 1), jnp.float32)
+        krow = jnp.ones((1, kw, 1, 1), jnp.float32)
+        out = jax.lax.conv_general_dilated(
+            x, kcol, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = jax.lax.conv_general_dilated(
+            out, krow, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out[..., 0].reshape(shape)
     kernel = jnp.asarray(se)[:, :, None, None]
     out = jax.lax.conv_general_dilated(
         x, kernel, window_strides=(1, 1), padding="VALID",

@@ -18,7 +18,7 @@ import numpy as np
 
 from inklayer_tpu.config import RefineConfig
 from inklayer_tpu.ops import morphology as M
-from inklayer_tpu.ops.components import component_stats, connected_components
+from inklayer_tpu.ops.components import component_keep, connected_components
 
 
 def kernel_size(image_hw, factor: float = 0.025) -> int:
@@ -40,10 +40,7 @@ def clean_masks(
 
     def clean_one(m):
         labels = connected_components(m)
-        area, width, height = component_stats(labels)
-        aspect = jnp.maximum(width, height) / (jnp.minimum(width, height) + 1e-5)
-        keep = (area > min_area) | (aspect > min_aspect)
-        return m & keep
+        return m & component_keep(labels, min_area, min_aspect)
 
     return jax.vmap(clean_one)(closed)
 
