@@ -171,6 +171,21 @@ class DepthEstimator:
 
         self._jit = cached_jit(lambda p, x: self.model.apply(p, x),
                                name="depth_infer")
+        # ONE jit for normalize+resize+model+resize-back: eager pre/post ops
+        # each pay a tunnel dispatch (~0.5s/stage measured); fused they cost
+        # one dispatch and the resizes fuse into the surrounding graph
+        self._full = cached_jit(self._infer_full, name="depth_infer_full",
+                                static_argnames=("bh", "bw"))
+
+    def _infer_full(self, p, image_u8, *, bh: int, bw: int):
+        h, w = image_u8.shape[0], image_u8.shape[1]
+        x = image_u8.astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(DEPTH_MEAN)) / jnp.asarray(DEPTH_STD)
+        x = resize(x, (bh, bw), "bicubic", antialias=True)
+        depth = self.model.apply(p, x[None])[0]
+        # F.interpolate(..., align_corners=True) in infer_image (dpt.py:190)
+        out = resize_align_corners(depth[None, ..., None], (h, w))[0]
+        return out[..., 0]
 
     def infer_image_device(self, image) -> jnp.ndarray:
         """image: (H, W, 3) uint8 RGB (host or device) -> (H, W) float32
@@ -178,13 +193,7 @@ class DepthEstimator:
         there; quantized readback only for the depth_map.png contract)."""
         h, w = image.shape[:2]
         bh, bw = depth_bucket(h, w, self.cfg)
-        x = jnp.asarray(image).astype(jnp.float32) / 255.0
-        x = (x - jnp.asarray(DEPTH_MEAN)) / jnp.asarray(DEPTH_STD)
-        x = resize(x, (bh, bw), "bicubic", antialias=True)
-        depth = self._jit(self.params, x[None])[0]
-        # F.interpolate(..., align_corners=True) in infer_image (dpt.py:190)
-        out = resize_align_corners(depth[None, ..., None], (h, w))[0]
-        return out[..., 0]
+        return self._full(self.params, jnp.asarray(image), bh=bh, bw=bw)
 
     def infer_image(self, image: np.ndarray) -> np.ndarray:
         """image: (H, W, 3) uint8 RGB -> (H, W) float32 relative depth."""
