@@ -97,11 +97,21 @@ class Attention(nn.Module):
         b, h, w, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        qkv_raw = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                           dtype=self.dtype, name="qkv")(x)
 
         n_tokens = h * w
         on_tpu = jax.default_backend() == "tpu"
+        if (self.use_flash and on_tpu and b > 1 and 64 <= n_tokens < 1024
+                and self.use_rel_pos and head_dim <= 128):
+            # Windowed blocks: one fused kernel program per window computes
+            # all heads straight from the raw qkv dense output — replaces
+            # the aug-matmul sdpa path whose concats/transposes and fp32
+            # (nw, heads, 196, 196) logits dominate HBM traffic
+            out = self._fused_window(qkv_raw, h, w, head_dim, scale)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+        qkv = qkv_raw.reshape(b, h * w, 3, self.num_heads, head_dim)
         if (self.use_flash and on_tpu and n_tokens >= 1024
                 and self.use_rel_pos and head_dim <= 128):
             # Fused token-major global attention: rel bias computed inside the
@@ -181,6 +191,33 @@ class Attention(nn.Module):
 
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+    def _fused_window(self, qkv_raw, h, w, head_dim, scale):
+        """All-heads-per-window fused attention (ops.attention
+        sam_window_attention): consumes the qkv dense output as-is."""
+        from inklayer_tpu.ops.attention import sam_window_attention
+
+        nw = qkv_raw.shape[0]
+        n = h * w
+        rel_pos_h = self.param(
+            "rel_pos_h", nn.initializers.zeros,
+            (2 * self.input_size[0] - 1, head_dim))
+        rel_pos_w = self.param(
+            "rel_pos_w", nn.initializers.zeros,
+            (2 * self.input_size[1] - 1, head_dim))
+        rh_tab = _gather_rel_pos(rel_pos_h, h, h).astype(self.dtype)
+        rw_tab = _gather_rel_pos(rel_pos_w, w, w).astype(self.dtype)
+        # bias terms from UNSCALED q (reference scales q@k only)
+        qg = qkv_raw[..., :self.dim].reshape(nw, h, w, self.num_heads,
+                                             head_dim)
+        rel_h = jnp.einsum("bijhc,ikc->bijhk", qg, rh_tab).reshape(
+            nw, n, self.num_heads * h)
+        rel_w = jnp.einsum("bijhc,jkc->bijhk", qg, rw_tab).reshape(
+            nw, n, self.num_heads * w)
+        out = sam_window_attention(
+            qkv_raw.reshape(nw, n, 3 * self.dim), rel_h, rel_w, scale=scale,
+            kh=h, kw=w, heads=self.num_heads, head_dim=head_dim)
+        return out.reshape(nw, h, w, self.dim)
 
     def _fused_global(self, qkv, h, w, head_dim, scale):
         """Token-major fused global attention (ops.attention

@@ -69,12 +69,21 @@ class LayerNorm(nn.Module):
         # 0.15ms per LN on v5e, scripts/ablate_ln.py + perfetto traces)
         if x.ndim != 2:
             x = x.reshape(-1, shape[-1])
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if (jax.default_backend() == "tpu" and c % 128 == 0
+                and x.shape[0] >= 512):
+            # Pallas one-pass LN: XLA's convert+reduce splits run ~20x off
+            # the HBM roofline when custom calls elsewhere perturb layouts
+            from inklayer_tpu.ops.norm import layernorm_2d
+
+            out = layernorm_2d(x, scale, bias, eps=self.eps)
+            return out.reshape(shape)
         x = x.astype(jnp.float32)
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
         x = (x - mean) * jax.lax.rsqrt(var + self.eps)
-        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
-        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
         out = (x * scale + bias).astype(orig_dtype)
         return out.reshape(shape)
 

@@ -297,6 +297,88 @@ def sam_global_attention(
     return out[:n]
 
 
+def _window_relpos_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,
+                          kh: int, kw: int, heads: int, head_dim: int):
+    """SAM windowed attention, ONE program per window, all heads.
+
+    qkv_ref: (n, 3*heads*head_dim) — the qkv dense output for this window's
+    tokens, untouched (no pad / per-head split outside; head slices are
+    taken in-kernel where they cost VMEM shuffles instead of HBM copies).
+    rh_ref/rw_ref: (n, heads*kh|kw) decomposed rel-pos terms, head-blocked.
+    """
+    n = kh * kw
+    col = jax.lax.broadcasted_iota(jnp.int32, (kh, n), 1)
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (kh, n), 0)
+    expand_h = (col // kw == row_h).astype(jnp.bfloat16)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (kw, n), 1)
+    row_w = jax.lax.broadcasted_iota(jnp.int32, (kw, n), 0)
+    expand_w = (col_w % kw == row_w).astype(jnp.bfloat16)
+    c = heads * head_dim
+    qkv = qkv_ref[0]  # (n, 3*heads*head_dim)
+    rh_all = rh_ref[0]
+    rw_all = rw_ref[0]
+    for h in range(heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, c + h * head_dim:c + (h + 1) * head_dim]
+        v = qkv[:, 2 * c + h * head_dim:2 * c + (h + 1) * head_dim]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        rh = rh_all[:, h * kh:(h + 1) * kh].astype(jnp.bfloat16)
+        rw = rw_all[:, h * kw:(h + 1) * kw].astype(jnp.bfloat16)
+        s = s + jax.lax.dot_general(
+            rh, expand_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(
+            rw, expand_w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "kh", "kw", "heads",
+                                             "head_dim", "interpret"))
+def sam_window_attention(
+    qkv: jax.Array,    # (nw, n, 3*heads*head_dim) dense output per window
+    rel_h: jax.Array,  # (nw, n, heads*kh) decomposed rel terms (q . table)
+    rel_w: jax.Array,  # (nw, n, heads*kw)
+    *,
+    scale: float,
+    kh: int,
+    kw: int,
+    heads: int,
+    head_dim: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused windowed attention: one grid program per window computes all
+    heads from the raw qkv dense output — no activation pad to 128 lanes, no
+    q/k/v un-interleave, no head transposes outside the kernel.  Returns
+    (nw, n, heads*head_dim)."""
+    nw, n, w3 = qkv.shape
+    assert n == kh * kw and w3 == 3 * heads * head_dim
+    kernel = functools.partial(_window_relpos_kernel, scale=scale, kh=kh,
+                               kw=kw, heads=heads, head_dim=head_dim)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nw, n, heads * head_dim), qkv.dtype),
+        grid=(nw,),
+        in_specs=[
+            pl.BlockSpec((1, n, w3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, rel_h.shape[-1]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, rel_w.shape[-1]), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, heads * head_dim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qkv, rel_h, rel_w)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"

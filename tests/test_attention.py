@@ -140,3 +140,31 @@ def test_sam_encoder_fused_path_matches_fallback(rng, monkeypatch):
         del orig_call
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_big),
                                atol=5e-3, rtol=1e-2)
+
+
+def test_sam_window_attention_interpret_matches_sdpa(rng, monkeypatch):
+    """The all-heads-per-window fused kernel (interpret mode) vs the CPU
+    aug-matmul sdpa path on the same windowed Attention module."""
+    import sys
+
+    import inklayer_tpu.ops.attention  # noqa: F401 (ensure loaded)
+    from inklayer_tpu.models.sam import image_encoder as ie
+    A = sys.modules["inklayer_tpu.ops.attention"]
+
+    attn = ie.Attention(dim=32, num_heads=2, input_size=(14, 14),
+                        use_rel_pos=True, use_flash=True)
+    x = _rand(rng, 4, 14, 14, 32)  # 4 windows, 196 tokens, head_dim 16
+    params = attn.init(jax.random.key(0), x)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(rng.standard_normal(a.shape), a.dtype) * 0.1,
+        params)
+    ref = attn.apply(params, x)  # CPU backend: sdpa aug-matmul path
+
+    real = A.sam_window_attention
+    monkeypatch.setattr(
+        A, "sam_window_attention",
+        lambda *a, **k: real(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(ie.jax, "default_backend", lambda: "tpu")
+    out = attn.apply(params, x)  # fused windowed branch (backend faked)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=1e-2)
