@@ -270,12 +270,14 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        # token-major (B, N, C) residual stream: the 4D spatial tensor only
-        # exists transiently around the attention — a global-attention block
-        # in the graph otherwise flips the 4D layout model-wide and every
-        # LN/elementwise op pays transposes (perfetto-profiled on v5e)
-        b, h, w, c = x.shape
-        x = x.reshape(b, h * w, c)
+        # token-major (B, N, C) residual stream END TO END: the 4D spatial
+        # tensor only exists transiently around the attention — a
+        # global-attention block in the graph otherwise flips the 4D layout
+        # model-wide and every LN/elementwise op pays transposes
+        # (perfetto-profiled on v5e).  Callers pass (B, H*W, C); the spatial
+        # extent comes from input_size.
+        h, w = self.input_size
+        b, n, c = x.shape
         shortcut = x
         y = LayerNorm(dtype=self.dtype, name="norm1")(x)
         y = y.reshape(b, h, w, c)
@@ -290,10 +292,10 @@ class Block(nn.Module):
             dtype=self.dtype, name="attn")(y)
         if self.window_size > 0:
             y = window_unpartition(y, self.window_size, padded_hw, (h, w))
-        x = shortcut + y.reshape(b, h * w, c)
+        x = shortcut + y.reshape(b, n, c)
         y = LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = MLP(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(y)
-        return (x + y).reshape(b, h, w, c)
+        return x + y
 
 
 class ImageEncoderViT(nn.Module):
@@ -320,7 +322,11 @@ class ImageEncoderViT(nn.Module):
                        name="patch_embed")(x)
         pos = self.param("pos_embed", nn.initializers.zeros,
                          (1, grid, grid, self.embed_dim))
-        x = x + pos.astype(self.dtype)
+        b = x.shape[0]
+        # token-major stream from here: the pos add happens in the 2D layout
+        # the blocks use (the 4D add fused with a layout copy cost 2.6ms/fwd)
+        x = x.reshape(b, grid * grid, self.embed_dim) \
+            + pos.astype(self.dtype).reshape(1, grid * grid, self.embed_dim)
         block_cls = Block
         if self.remat:
             block_cls = nn.remat(Block)
@@ -336,6 +342,7 @@ class ImageEncoderViT(nn.Module):
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x)
+        x = x.reshape(b, grid, grid, self.embed_dim)
         # neck: 1x1 conv -> LN -> 3x3 conv -> LN (image_encoder.py:85-104)
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
                     name="neck_conv1")(x)
