@@ -147,13 +147,15 @@ def sort_sketch_masks(
     # sketch_to_01binary: threshold at max/2 (refinement/utils.py:3-9)
     ink = sketch_gray <= sketch_gray.max() / 2
     cell = max(1, int(round(h * cfg.sample_radius_frac)))
-    pts, valid = sample_stroke_points(jnp.asarray(ink), cell)
-    scores = np.asarray(mask_depth_scores(
-        jnp.asarray(masks), pts, valid, jnp.asarray(depth, jnp.float32),
-        cfg.depth_bin))
+    ink_dev = jnp.asarray(ink)
+    masks_dev = jnp.asarray(masks)
+    pts, valid = sample_stroke_points(ink_dev, cell)
+    scores_dev = mask_depth_scores(
+        masks_dev, pts, valid, jnp.asarray(depth, jnp.float32), cfg.depth_bin)
     cont = containment_graph(boxes, (h, w), cfg)
-    sketch_masks = jnp.asarray(masks) & jnp.asarray(ink)[None]
-    overlap = np.asarray(major_overlap_matrix(
-        sketch_masks, thr=cfg.overlap_major_frac))
+    overlap_dev = major_overlap_matrix(
+        masks_dev & ink_dev[None], thr=cfg.overlap_major_frac)
+    # ONE batched readback (each np.asarray costs a full tunnel RTT)
+    scores, overlap = jax.device_get((scores_dev, overlap_dev))
     order = sort_order(scores, cont, overlap)
     return order, scores, cont

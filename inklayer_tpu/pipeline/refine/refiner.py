@@ -90,11 +90,11 @@ def parse_masks_to_disjoint(
     sorted_boxes = [np.asarray(boxes)[i] for i in order]
 
     ink = jnp.asarray(sketch_gray < cfg.ink_threshold)
-    ink_cover, areas, overlap = _disjoint_stats(sorted_masks, ink)
-    ink_cover = np.asarray(ink_cover)
-    areas = np.asarray(areas)
-    overlap_np = np.asarray(overlap)
-    sketch_area = int(np.asarray(ink.sum()))
+    ink_cover_d, areas_d, overlap_d = _disjoint_stats(sorted_masks, ink)
+    # ONE batched readback (each np.asarray costs a full tunnel RTT)
+    ink_cover, areas, overlap_np, sketch_area = jax.device_get(
+        (ink_cover_d, areas_d, overlap_d, ink.sum()))
+    sketch_area = int(sketch_area)
 
     # drop masks covering >90% of the ink, sequentially (refiner :99-110)
     n = sorted_masks.shape[0]
