@@ -215,7 +215,7 @@ class InkLayerApp:
         urls = sorted(
             glob.glob(os.path.join(out_dir, "complete_layers_rgba",
                                    "layer_*.png")),
-            key=lambda p: int(p.split("layer_")[1].split(".")[0]))
+            key=lambda p: int(os.path.basename(p).split("layer_")[1].split(".")[0]))
         urls = [u.replace(self.root_dir, "") for u in urls][::-1]
         return self._json_resp({
             "message": f"Segmentation completed for {image_name}",
@@ -225,7 +225,7 @@ class InkLayerApp:
     def inpaint(self, req: Request):
         data = req.json()
         needed = ("image_name", "layer_id", "layer_path", "prompt")
-        if not all(data.get(k) for k in needed):
+        if any(data.get(k) is None or data.get(k) == "" for k in needed):
             return self._json_resp(
                 {"error": "Missing image_name, layer_id, layer_path or prompt"},
                 "400 Bad Request")
@@ -284,12 +284,12 @@ class InkLayerApp:
         urls = sorted(
             glob.glob(os.path.join(self.output_dir, name,
                                    "complete_layers_rgba", "layer_*.png")),
-            key=lambda p: int(p.split("layer_")[1].split(".")[0]))
+            key=lambda p: int(os.path.basename(p).split("layer_")[1].split(".")[0]))
         if not urls:  # no inpainted layers yet: serve the final masks view
             urls = sorted(
                 glob.glob(os.path.join(self.output_dir, name, "masks_final",
                                        "mask_*.png")),
-                key=lambda p: int(p.split("mask_")[1].split(".")[0]))
+                key=lambda p: int(os.path.basename(p).split("mask_")[1].split(".")[0]))
         urls = [u.replace(self.root_dir, "") for u in urls][::-1]
         return self._json_resp({"layers": urls, "image_name": name})
 

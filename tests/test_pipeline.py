@@ -204,3 +204,45 @@ def test_run_dir_pipelined_matches_sequential(pipeline, tmp_path):
             mb = np.asarray(Image.open(
                 os.path.join(pipe_dir, name, "masks_final", m)))
             np.testing.assert_array_equal(ma, mb, err_msg=f"{name}/{m}")
+
+
+REF_GOLDEN = "/root/reference/output/bunny_cook_sketch"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_GOLDEN),
+                    reason="reference golden outputs not mounted")
+def test_output_contract_matches_reference_golden(pipeline, sketch_file,
+                                                  tmp_path):
+    """Structural parity vs the reference's COMMITTED golden output dir
+    (output/bunny_cook_sketch): same entry set, same JSON schemas, same
+    image conventions.  Numerical mask/box parity needs real checkpoints
+    (absent in this env); the contract is what downstream consumers and the
+    web UI read."""
+    out_dir = pipeline.run(sketch_file, str(tmp_path / "out"))
+    golden_entries = {e for e in os.listdir(REF_GOLDEN)}
+    ours = set(os.listdir(out_dir))
+    assert golden_entries <= ours, golden_entries - ours
+
+    with open(os.path.join(REF_GOLDEN, "bboxes_final.json")) as f:
+        golden_schema = set(json.load(f))
+    with open(os.path.join(out_dir, "bboxes_final.json")) as f:
+        ours_schema = set(json.load(f))
+    assert ours_schema == golden_schema
+
+    with open(os.path.join(REF_GOLDEN, "bboxes.json")) as f:
+        golden_schema = set(json.load(f))
+    with open(os.path.join(out_dir, "bboxes.json")) as f:
+        assert set(json.load(f)) == golden_schema
+
+    # mask file naming convention (mask_{i}.png) and image conventions
+    for sub in ("masks", "masks_cleaned", "masks_disjoint", "masks_final"):
+        files = os.listdir(os.path.join(out_dir, sub))
+        assert all(f.startswith("mask_") and f.endswith(".png")
+                   for f in files), sub
+    im = Image.open(os.path.join(out_dir, "depth_map.png"))
+    ref_im = Image.open(os.path.join(REF_GOLDEN, "depth_map.png"))
+    assert im.mode == ref_im.mode  # RGB grayscale-replicated
+    in_im = Image.open(sketch_file)
+    assert im.size == in_im.size  # depth map at input resolution
+    seg = Image.open(os.path.join(out_dir, "segmented_sketch_final.png"))
+    assert seg.mode == "RGB" and seg.size == in_im.size
