@@ -46,11 +46,15 @@ def ms_deform_attn(
       'auto'   — pallas on TPU for large query counts, gather otherwise."""
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu and sampling_locations.shape[1] >= 2048:
+        if on_tpu and sampling_locations.shape[1] >= 512:
             impl = "pallas"
         else:
             impl = "gather"
     if impl == "pallas":
+        return _ms_deform_attn_pallas_fused(value, spatial_shapes,
+                                            sampling_locations,
+                                            attention_weights)
+    if impl == "pallas_per_level":
         return _ms_deform_attn_pallas(value, spatial_shapes,
                                       sampling_locations, attention_weights)
     if impl == "dense":
@@ -94,9 +98,153 @@ def _pallas_level_kernel(hh: int, ww: int, d: int, n_points: int, bq: int):
     return kern
 
 
+def _pallas_level_kernel_v2(hh: int, ww: int, d: int, n_points: int, bq: int):
+    """w-minor value layout variant: v arrives as (hh, d*ww) with
+    v2[h, k*ww + w] = v[h, w, k].  The Sx expansion then becomes a
+    pltpu.repeat TILE (concatenation of d copies) instead of the
+    (bq, ww) @ (ww, ww*d) expansion matmul — which cost more FLOPs than the
+    actual bilinear contraction (147 vs 110 MF per point-program at level 0).
+    pltpu.repeat is exact for non-128-multiple ww (verified on v5e)."""
+    from jax.experimental import pallas as pl  # noqa: F811
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(y_ref, x_ref, w_ref, v_ref, o_ref):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bq, hh), 1).astype(jnp.float32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, ww), 1).astype(jnp.float32)
+        col_g = jax.lax.broadcasted_iota(jnp.int32, (d * ww, d), 1)
+        row_g = jax.lax.broadcasted_iota(jnp.int32, (d * ww, d), 0)
+        reduce = (row_g // ww == col_g).astype(jnp.bfloat16)
+        v = v_ref[0]  # (hh, d*ww) bf16, w-minor
+        acc = jnp.zeros((bq, d), jnp.float32)
+        for p in range(n_points):
+            yv = y_ref[0, :, p][:, None]
+            xv = x_ref[0, :, p][:, None]
+            wl = w_ref[0, :, p][:, None]
+            sy = jnp.maximum(0.0, 1.0 - jnp.abs(yv - rows)).astype(jnp.bfloat16)
+            sx = jnp.maximum(0.0, 1.0 - jnp.abs(xv - cols)) * wl
+            # bf16 everywhere in the elementwise section: the (bq, d*ww)
+            # t*sx product is the kernel's VPU wall (the product was rounded
+            # to bf16 before the reduce matmul anyway)
+            t = jnp.dot(sy, v,
+                        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            sx_exp = pltpu.repeat(sx.astype(jnp.bfloat16), d, axis=1)
+            acc = acc + jnp.dot(t * sx_exp, reduce,
+                                preferred_element_type=jnp.float32)
+        o_ref[0] = acc
+
+    return kern
+
+
+def _pallas_fused_levels_kernel(spatial_shapes, d: int, n_levels: int,
+                                n_points: int, bq: int):
+    """ALL levels in one program: the per-level value tiles live in VMEM
+    together (~1.1MB per head for GDINO shapes) and the output accumulates
+    in-register across levels — removes the 4x pallas_call launch grid and
+    the (bh, q, d) HBM accumulate between levels (measured: the 4-call
+    version spent most of its time outside the matmuls)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(y_ref, x_ref, w_ref, *refs):
+        v_refs = refs[:n_levels]
+        o_ref = refs[n_levels]
+        acc = jnp.zeros((bq, d), jnp.float32)
+        for lvl, (hh, ww) in enumerate(spatial_shapes):
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (bq, hh), 1).astype(jnp.float32)
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (bq, ww), 1).astype(jnp.float32)
+            col_g = jax.lax.broadcasted_iota(jnp.int32, (d * ww, d), 1)
+            row_g = jax.lax.broadcasted_iota(jnp.int32, (d * ww, d), 0)
+            reduce = (row_g // ww == col_g).astype(jnp.bfloat16)
+            v = v_refs[lvl][0]  # (hh, d*ww) bf16, w-minor
+            for p in range(n_points):
+                k = lvl * n_points + p
+                yv = y_ref[0, :, k][:, None]
+                xv = x_ref[0, :, k][:, None]
+                wl = w_ref[0, :, k][:, None]
+                sy = jnp.maximum(0.0, 1.0 - jnp.abs(yv - rows)
+                                 ).astype(jnp.bfloat16)
+                sx = jnp.maximum(0.0, 1.0 - jnp.abs(xv - cols)) * wl
+                t = jnp.dot(sy, v, preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+                sx_exp = pltpu.repeat(sx.astype(jnp.bfloat16), d, axis=1)
+                acc = acc + jnp.dot(t * sx_exp, reduce,
+                                    preferred_element_type=jnp.float32)
+        o_ref[0] = acc
+
+    return kern
+
+
+def _ms_deform_attn_pallas_fused(value, spatial_shapes, sampling_locations,
+                                 attention_weights, block_q: int = 256,
+                                 interpret: bool = False):
+    """Single-pallas_call variant: grid (b*heads, q-blocks), all levels and
+    points computed per program."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, h, d = value.shape
+    q = sampling_locations.shape[1]
+    n_levels = sampling_locations.shape[3]
+    n_points = sampling_locations.shape[4]
+    bq = block_q
+    qp = ((q + bq - 1) // bq) * bq
+    bh = b * h
+
+    # per-query coords scaled to each level's pixel space, flattened (L*P)
+    sizes_w = jnp.asarray([w_ for _, w_ in spatial_shapes], jnp.float32)
+    sizes_h = jnp.asarray([h_ for h_, _ in spatial_shapes], jnp.float32)
+    xy = sampling_locations.astype(jnp.float32)  # (B, Q, H, L, P, 2)
+    x = xy[..., 0] * sizes_w[None, None, None, :, None] - 0.5
+    y = xy[..., 1] * sizes_h[None, None, None, :, None] - 0.5
+    x = x.transpose(0, 2, 1, 3, 4).reshape(bh, q, n_levels * n_points)
+    y = y.transpose(0, 2, 1, 3, 4).reshape(bh, q, n_levels * n_points)
+    wl = attention_weights.astype(jnp.float32).transpose(0, 2, 1, 3, 4) \
+        .reshape(bh, q, n_levels * n_points)
+    pad = ((0, 0), (0, qp - q), (0, 0))
+    x = jnp.pad(x, pad)
+    y = jnp.pad(y, pad)
+    wl = jnp.pad(wl, pad)
+
+    vs = []
+    off = 0
+    for hh, ww in spatial_shapes:
+        v = value[:, off: off + hh * ww].astype(jnp.bfloat16)
+        off += hh * ww
+        vs.append(v.reshape(b, hh, ww, h, d).transpose(0, 3, 1, 4, 2)
+                  .reshape(bh, hh, d * ww))
+
+    kern = _pallas_fused_levels_kernel(spatial_shapes, d, n_levels,
+                                       n_points, bq)
+    lp = n_levels * n_points
+    o = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((bh, qp, d), jnp.float32),
+        grid=(bh, qp // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, lp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, lp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, lp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, hh, d * ww), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for hh, ww in spatial_shapes
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(y, x, wl, *vs)
+    out = o[:, :q].reshape(b, h, q, d).transpose(0, 2, 1, 3).reshape(
+        b, q, h * d)
+    return out.astype(value.dtype)
+
+
 def _ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
                            attention_weights, block_q: int = 128,
-                           interpret: bool = False):
+                           interpret: bool = False, kernel_version: int = 2):
     """Fused Pallas kernel (TPU): per-(head, query-block) program holds the
     level's value tile in VMEM and computes Sy@V, the Sx expansion, and the
     d-reduction without touching HBM.  bfloat16 weight/matmul precision
@@ -115,7 +263,12 @@ def _ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
     for lvl, (hh, ww) in enumerate(spatial_shapes):
         v = value[:, off: off + hh * ww].astype(jnp.bfloat16)
         off += hh * ww
-        v = v.transpose(0, 2, 1, 3).reshape(bh, hh, ww * d)
+        if kernel_version == 2:
+            # w-minor layout for the v2 kernel: v2[bh, h, k*ww + w]
+            v = v.reshape(b, hh, ww, h, d).transpose(0, 3, 1, 4, 2) \
+                .reshape(bh, hh, d * ww)
+        else:
+            v = v.transpose(0, 2, 1, 3).reshape(bh, hh, ww * d)
         xy = sampling_locations[:, :, :, lvl].astype(jnp.float32)  # (B,Q,H,P,2)
         x = (xy[..., 0] * ww - 0.5).transpose(0, 2, 1, 3).reshape(bh, q, n_points)
         y = (xy[..., 1] * hh - 0.5).transpose(0, 2, 1, 3).reshape(bh, q, n_points)
@@ -125,7 +278,8 @@ def _ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
         x = jnp.pad(x, pad)
         y = jnp.pad(y, pad)
         wl = jnp.pad(wl, pad)
-        kern = _pallas_level_kernel(hh, ww, d, n_points, bq)
+        kern = (_pallas_level_kernel_v2 if kernel_version == 2
+                else _pallas_level_kernel)(hh, ww, d, n_points, bq)
         o = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((bh, qp, d), jnp.float32),
@@ -137,7 +291,7 @@ def _ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, bq, n_points), lambda i, j: (i, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hh, ww * d), lambda i, j: (i, 0, 0),
+                pl.BlockSpec((1, hh, d * ww), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0),
