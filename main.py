@@ -37,6 +37,14 @@ def main():
     parser.add_argument("--batch", type=int, default=1,
                         help="batch GDINO/SAM dispatches across images in "
                              "--dir mode (throughput)")
+    parser.add_argument("--num_hosts", type=int,
+                        default=int(os.environ.get("INKLAYER_NUM_HOSTS", 1)),
+                        help="multi-host --dir sweep: total number of worker "
+                             "hosts (embarrassingly parallel over DCN, no "
+                             "collectives — SURVEY §2.9)")
+    parser.add_argument("--host_id", type=int,
+                        default=int(os.environ.get("INKLAYER_HOST_ID", 0)),
+                        help="this worker's index in [0, num_hosts)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -60,6 +68,15 @@ def main():
     if not paths:
         print("no input images found", file=sys.stderr)
         sys.exit(1)
+    if args.num_hosts > 1:
+        if not 0 <= args.host_id < args.num_hosts:
+            parser.error("--host_id must be in [0, num_hosts)")
+        # deterministic round-robin shard of the sorted list: every host
+        # computes the same assignment without any communication
+        paths = paths[args.host_id::args.num_hosts]
+        if not paths:
+            print(f"host {args.host_id}: no images in shard")
+            return
 
     if len(paths) > 1:
         # directory sweep: host IO overlaps the next image's device work

@@ -77,3 +77,15 @@ def test_cached_jit_cpu_passthrough(tmp_path, rng):
     a = jnp.ones((4, 4))
     np.testing.assert_allclose(np.asarray(f(a, a)), 4 * np.ones((4, 4)))
     assert not list(tmp_path.iterdir())  # nothing written on CPU
+
+
+def test_multihost_shard_assignment():
+    """main.py --num_hosts/--host_id round-robin sharding: disjoint,
+    complete, deterministic (embarrassingly parallel DCN sweep plan,
+    SURVEY §2.9)."""
+    paths = [f"img_{i:03d}.png" for i in range(11)]
+    shards = [paths[h::4] for h in range(4)]
+    joined = [p for s in shards for p in s]
+    assert sorted(joined) == paths
+    assert len({p for s in shards for p in s}) == len(paths)
+    assert shards[0] == ["img_000.png", "img_004.png", "img_008.png"]
