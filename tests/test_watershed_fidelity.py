@@ -91,3 +91,52 @@ def test_label_flood_respects_region_and_barriers(lib):
     np.testing.assert_array_equal(ours, exact)
     assert (np.unique(ours[:, :38]) <= 1).all()
     assert set(np.unique(ours[:, 42:])) <= {0, 2}
+
+
+def test_label_flood_full_resolution_caps(lib, rng):
+    """VERDICT weak #7: sweep a realistic full-resolution (750^2) sketch-like
+    scene and check the default iteration cap (RefineConfig.watershed_iters
+    = 256) does not clip: agreement with the exact C++ watershed stays at
+    the small-fixture level."""
+    from inklayer_tpu.config import RefineConfig
+
+    h = w = 750
+    yy, xx = np.mgrid[:h, :w]
+    region = np.zeros((h, w), bool)
+    markers = np.zeros((h, w), np.int32)
+    # several objects: filled blobs with long protruding strokes (the
+    # labels must travel along the strokes from the blob markers)
+    rng2 = np.random.default_rng(7)
+    for i, (cy, cx) in enumerate([(150, 150), (180, 520), (520, 200),
+                                  (560, 560)]):
+        blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= 60 ** 2
+        region |= blob
+        markers[(yy - cy) ** 2 + (xx - cx) ** 2 <= 25 ** 2] = i + 1
+        # a winding stroke leaving the blob (~200px geodesic)
+        y, x = cy, cx
+        for step in range(200):
+            dy, dx = rng2.integers(-1, 2), 1 if i % 2 == 0 else -1
+            y = int(np.clip(y + dy, 2, h - 3))
+            x = int(np.clip(x + dx, 2, w - 3))
+            region[y - 2:y + 3, x - 2:x + 3] = True
+    holes = rng.random((h, w)) < 0.01
+    region &= ~holes
+    region |= markers > 0
+
+    dist = np.asarray(chamfer_distance(jnp.asarray(~region), iters=64))
+    elevation = (-dist).astype(np.float32)
+    elevation -= elevation.min()
+
+    iters = RefineConfig().watershed_iters
+    ours = np.asarray(label_flood(jnp.asarray(markers),
+                                  jnp.asarray(elevation),
+                                  jnp.asarray(region), iters=iters))
+    exact = native.watershed(markers, elevation, region)
+
+    labelled_exact = exact > 0
+    labelled_ours = ours > 0
+    reach_disagree = np.mean(labelled_exact != labelled_ours)
+    assert reach_disagree < 0.01, f"cap clipped: {reach_disagree}"
+    both = labelled_exact & labelled_ours
+    agree = np.mean(ours[both] == exact[both])
+    assert agree > 0.97, f"full-res label agreement only {agree}"
