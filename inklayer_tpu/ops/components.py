@@ -123,6 +123,143 @@ def connected_components(mask: jax.Array, connectivity: int = 8,
     return jnp.where(mask, lbl, -1)
 
 
+def _cc_pallas_kernel(h: int, w: int, w_orig: int, connectivity: int,
+                      iters: int):
+    """Whole CC propagation for ONE mask in VMEM.  Same algorithm as the
+    XLA version (8-neighbour min + run-gated log-doubling scans) but one
+    HBM read + one write per mask instead of ~40 HBM passes per iteration.
+    Labels use the ORIGINAL row stride (y * w_orig + x) so results match the
+    XLA path on the unpadded image exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    big = 2 ** 30  # python int: a jnp scalar would be a captured constant
+
+    def _roll(x, s, axis):
+        n = h if axis == 0 else w
+        return pltpu.roll(x, s % n, axis=axis)  # pltpu.roll needs s >= 0
+
+    def kern(m_ref, o_ref):
+        mask = m_ref[0] != 0  # (h, w) padded
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        mi = mask.astype(jnp.int32)  # Mosaic rotate needs 32-bit data
+
+        def run_len(m32, axis):
+            """Count of consecutive mask pixels ending at x along `axis`
+            (Hillis-Steele), as a fori over the exponent with DYNAMIC roll
+            shifts: an unrolled chain keeps ~20 (H, W) i32 transients live
+            and blows the 16MB scoped-VMEM budget."""
+            n = h if axis == 0 else w
+            pos = yy if axis == 0 else xx
+            ksteps = max(1, (n - 1).bit_length())
+
+            def step(k, r):
+                d = jax.lax.shift_left(jnp.int32(1), k)
+                shifted = pltpu.roll(r, d, axis=axis)
+                ok = (r == d) & (pos >= d)
+                return r + jnp.where(ok, shifted, 0)
+
+            return jax.lax.fori_loop(0, ksteps, step, m32)
+
+        rr = run_len(mi, 1)
+        rc = run_len(mi, 0)
+
+        lbl0 = jnp.where(mask, yy * w_orig + xx, big)
+
+        shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+        if connectivity == 8:
+            shifts += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+
+        def body(_, lbl):
+            out = lbl
+            for dy, dx in shifts:
+                s = lbl
+                if dy:
+                    s = _roll(s, dy, 0)
+                if dx:
+                    s = _roll(s, dx, 1)
+                guard = jnp.full((h, w), True)
+                if dy == 1:
+                    guard &= yy > 0
+                elif dy == -1:
+                    guard &= yy < h - 1
+                if dx == 1:
+                    guard &= xx > 0
+                elif dx == -1:
+                    guard &= xx < w - 1
+                out = jnp.minimum(out, jnp.where(guard, s, big))
+            lbl = jnp.where(mask, out, big)
+
+            def axis_pass(lbl, gate, axis, n):
+                ksteps = max(1, (n - 1).bit_length())
+
+                def step(k, lbl):
+                    d = jax.lax.shift_left(jnp.int32(1), k)
+                    fwd = pltpu.roll(lbl, d, axis=axis)
+                    lbl = jnp.where(gate > d, jnp.minimum(lbl, fwd), lbl)
+                    bwd = pltpu.roll(lbl, n - d, axis=axis)
+                    # x may pull from x+d iff [x, x+d] is one run iff
+                    # gate[x+d] > d; wrap-safe: gate[y] <= y+1 along the axis
+                    gshift = pltpu.roll(gate, n - d, axis=axis)
+                    return jnp.where(gshift > d, jnp.minimum(lbl, bwd), lbl)
+
+                return jax.lax.fori_loop(0, ksteps, step, lbl)
+
+            lbl = axis_pass(lbl, rr, 1, w)
+            lbl = axis_pass(lbl, rc, 0, h)
+            return lbl
+
+        lbl = jax.lax.fori_loop(0, iters, body, lbl0)
+        o_ref[0] = jnp.where(mask, lbl, -1)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "iters"))
+def _connected_components_pallas(masks: jax.Array, connectivity: int = 8,
+                                 iters: int = 16) -> jax.Array:
+    """masks: (N, H, W) bool -> (N, H, W) int32 labels (same semantics as
+    `connected_components`), one grid program per mask, VMEM-resident."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w = masks.shape
+    hp = ((h + 7) // 8) * 8
+    wp = ((w + 127) // 128) * 128
+    m = masks.astype(jnp.int8)
+    if (hp, wp) != (h, w):
+        m = jnp.pad(m, ((0, 0), (0, hp - h), (0, wp - w)))
+    kern = _cc_pallas_kernel(hp, wp, w, connectivity, iters)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, hp, wp), jnp.int32),
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        # live set (mask + 2 run-length gates + labels + loop transients)
+        # exceeds the default 16MB scoped budget at 750^2; v5e has 128MB
+        # physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(m)
+    return out[:, :h, :w]
+
+
+def connected_components_batch(masks: jax.Array, connectivity: int = 8,
+                               max_iters: int = 64) -> jax.Array:
+    """(N, H, W) bool -> (N, H, W) int32 labels.  Routes to the Pallas
+    whole-mask-in-VMEM kernel on TPU (fits VMEM up to ~1100^2), else the
+    XLA propagation."""
+    n, h, w = masks.shape
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and n > 0 and h * w * 4 <= 5 * 2 ** 20:
+        return _connected_components_pallas(masks, connectivity)
+    return jax.vmap(
+        lambda m: connected_components(m, connectivity, max_iters))(masks)
+
+
 @jax.jit
 def component_stats(labels: jax.Array) -> Tuple[jax.Array, ...]:
     """Per-pixel component stats maps: (area, width, height) of each pixel's

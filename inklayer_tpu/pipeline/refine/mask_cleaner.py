@@ -18,7 +18,8 @@ import numpy as np
 
 from inklayer_tpu.config import RefineConfig
 from inklayer_tpu.ops import morphology as M
-from inklayer_tpu.ops.components import component_keep, connected_components
+from inklayer_tpu.ops.components import (component_keep,
+                                         connected_components_batch)
 
 
 def kernel_size(image_hw, factor: float = 0.025) -> int:
@@ -37,12 +38,10 @@ def clean_masks(
     binary = masks > (127 if masks.dtype == jnp.uint8 else 0)
     se = M.rect_kernel(max(k, 1))
     closed = M.morph_close(binary, se)
-
-    def clean_one(m):
-        labels = connected_components(m)
-        return m & component_keep(labels, min_area, min_aspect)
-
-    return jax.vmap(clean_one)(closed)
+    labels = connected_components_batch(closed)
+    keep = jax.vmap(
+        lambda l: component_keep(l, min_area, min_aspect))(labels)
+    return closed & keep
 
 
 def run_clean_masks(masks, cfg: RefineConfig = RefineConfig()) -> np.ndarray:
