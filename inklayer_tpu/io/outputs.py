@@ -49,12 +49,16 @@ def save_norm_bboxes(bboxes_abs: Sequence[Sequence[float]],
 
 def save_masks_dir(masks: np.ndarray, out_dir: str,
                    indices: Optional[Sequence[int]] = None) -> None:
-    """masks: (N, H, W) bool -> out_dir/mask_{i}.png (255/0 grayscale)."""
+    """masks: (N, H, W) bool -> out_dir/mask_{i}.png (255/0 grayscale).
+
+    compress_level=1: zlib level 6 (PIL default) spends ~4x the host CPU for
+    a few percent smaller bilevel PNGs — the mask writes are the largest
+    host-side cost of the output contract."""
     os.makedirs(out_dir, exist_ok=True)
     for i, mask in enumerate(masks):
         idx = indices[i] if indices is not None else i
         Image.fromarray((np.asarray(mask, bool) * 255).astype(np.uint8)).save(
-            os.path.join(out_dir, f"mask_{idx}.png"))
+            os.path.join(out_dir, f"mask_{idx}.png"), compress_level=1)
 
 
 def draw_boxes_image(image: Image.Image, norm_boxes, scores=None,

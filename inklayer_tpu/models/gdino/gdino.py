@@ -206,9 +206,11 @@ class GDinoDetector:
             pos)
 
         def finalize():
-            return self._threshold(
-                np.asarray(scores[0]), np.asarray(boxes[0], np.float64),
-                np.asarray(tok_logits[0]), np.asarray(ids[0]), cap, thresh)
+            # ONE batched readback (each np.asarray pays a tunnel RTT)
+            s, b, tl, i = jax.device_get((scores[0], boxes[0],
+                                          tok_logits[0], ids[0]))
+            return self._threshold(s, np.asarray(b, np.float64), tl, i,
+                                   cap, thresh)
 
         return finalize
 

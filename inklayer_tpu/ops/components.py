@@ -293,7 +293,7 @@ def component_stats(labels: jax.Array) -> Tuple[jax.Array, ...]:
                    static_argnames=("min_area", "min_aspect",
                                     "max_components", "chunk"))
 def component_keep(labels: jax.Array, min_area: int, min_aspect: float,
-                   max_components: int = 256, chunk: int = 8) -> jax.Array:
+                   max_components: int = 128, chunk: int = 8) -> jax.Array:
     """Per-pixel keep decision: True where the pixel's component has
     area > min_area OR bbox aspect > min_aspect (clean_up_mask :24-33).
 
