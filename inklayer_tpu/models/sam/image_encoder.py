@@ -269,17 +269,24 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        # token-major (B, N, C) residual stream END TO END: the 4D spatial
-        # tensor only exists transiently around the attention — a
-        # global-attention block in the graph otherwise flips the 4D layout
-        # model-wide and every LN/elementwise op pays transposes
-        # (perfetto-profiled on v5e).  Callers pass (B, H*W, C); the spatial
-        # extent comes from input_size.
+    def __call__(self, x: jax.Array, delta: Optional[jax.Array] = None):
+        """Token-major (B, N, C) residual stream END TO END: the 4D spatial
+        tensor only exists transiently around the attention — a
+        global-attention block in the graph otherwise flips the 4D layout
+        model-wide and every LN/elementwise op pays transposes
+        (perfetto-profiled on v5e).
+
+        Pair interface: the PENDING residual delta from the previous block
+        (its MLP output, or the pos embedding for block 0) is fused into
+        this block's first LayerNorm (one Pallas pass computes
+        sum = x + delta and LN(sum)); returns (sum', mlp_out) with the add
+        again left pending.  Pass delta=None / take [0]+[1] summed for the
+        standalone layout."""
         h, w = self.input_size
         b, n, c = x.shape
-        shortcut = x
-        y = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        if delta is None:
+            delta = jnp.zeros_like(x)
+        shortcut, y = LayerNorm(dtype=self.dtype, name="norm1")(x, delta)
         y = y.reshape(b, h, w, c)
         if self.window_size > 0:
             y, padded_hw = window_partition(y, self.window_size)
@@ -292,10 +299,10 @@ class Block(nn.Module):
             dtype=self.dtype, name="attn")(y)
         if self.window_size > 0:
             y = window_unpartition(y, self.window_size, padded_hw, (h, w))
-        x = shortcut + y.reshape(b, n, c)
-        y = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x, y = LayerNorm(dtype=self.dtype, name="norm2")(
+            shortcut, y.reshape(b, n, c))
         y = MLP(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(y)
-        return x + y
+        return x, y
 
 
 class ImageEncoderViT(nn.Module):
@@ -323,15 +330,19 @@ class ImageEncoderViT(nn.Module):
         pos = self.param("pos_embed", nn.initializers.zeros,
                          (1, grid, grid, self.embed_dim))
         b = x.shape[0]
-        # token-major stream from here: the pos add happens in the 2D layout
-        # the blocks use (the 4D add fused with a layout copy cost 2.6ms/fwd)
-        x = x.reshape(b, grid * grid, self.embed_dim) \
-            + pos.astype(self.dtype).reshape(1, grid * grid, self.embed_dim)
+        n = grid * grid
+        # token-major stream + pending-residual pairs: block i's trailing
+        # MLP output is fused into block i+1's first LayerNorm (one Pallas
+        # pass) instead of a standalone add; the pos embedding rides the
+        # same mechanism into block 0
+        x = x.reshape(b, n, self.embed_dim)
+        delta = jnp.broadcast_to(
+            pos.astype(self.dtype).reshape(1, n, self.embed_dim), x.shape)
         block_cls = Block
         if self.remat:
             block_cls = nn.remat(Block)
         for i in range(self.depth):
-            x = block_cls(
+            x, delta = block_cls(
                 dim=self.embed_dim,
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
@@ -341,12 +352,17 @@ class ImageEncoderViT(nn.Module):
                 use_flash=self.use_flash,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x)
-        x = x.reshape(b, grid, grid, self.embed_dim)
-        # neck: 1x1 conv -> LN -> 3x3 conv -> LN (image_encoder.py:85-104)
+            )(x, delta)
+        x = x + delta
+        # neck: 1x1 conv -> LN -> 3x3 conv -> LN (image_encoder.py:85-104).
+        # The 1x1 conv and its LN run token-major ((B, N, 1, C) is the same
+        # buffer); only the 256-channel tensor pays the spatial-layout copy
+        # for the 3x3 conv (the 1280-channel copy_add fusion cost 2.6ms/fwd)
         x = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="neck_conv1")(x)
-        x = LayerNorm(dtype=self.dtype, name="neck_ln1")(x)
+                    name="neck_conv1")(x.reshape(b, n, 1, self.embed_dim))
+        x = LayerNorm(dtype=self.dtype, name="neck_ln1")(
+            x.reshape(b, n, self.out_chans))
+        x = x.reshape(b, grid, grid, self.out_chans)
         x = nn.Conv(self.out_chans, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="neck_conv2")(x)
         x = LayerNorm(dtype=self.dtype, name="neck_ln2")(x)

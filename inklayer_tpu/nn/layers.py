@@ -54,15 +54,38 @@ class MLPBlock(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm over the channel (last) axis with fp32 statistics."""
+    """LayerNorm over the channel (last) axis with fp32 statistics.
+
+    Optional fused-residual form: ``sum, normed = ln(x, residual)`` computes
+    ``sum = x + residual`` and ``LN(sum)`` in one Pallas pass on TPU (the
+    standalone add runs ~5x off roofline next to custom calls)."""
 
     eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
         orig_dtype = x.dtype
         shape = x.shape
+        if residual is not None:
+            c = shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            x2 = x.reshape(-1, c)
+            r2 = residual.reshape(-1, c)
+            if (jax.default_backend() == "tpu" and c % 128 == 0
+                    and x2.shape[0] >= 512):
+                from inklayer_tpu.ops.norm import layernorm_residual_2d
+
+                s, o = layernorm_residual_2d(x2, r2, scale, bias,
+                                             eps=self.eps)
+                return s.reshape(shape), o.reshape(shape)
+            s = (x2.astype(jnp.float32) + r2.astype(jnp.float32))
+            mean = jnp.mean(s, axis=-1, keepdims=True)
+            var = jnp.var(s, axis=-1, keepdims=True)
+            o = (s - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+            return (s.astype(orig_dtype).reshape(shape),
+                    o.astype(orig_dtype).reshape(shape))
         # canonicalize to 2D (tokens, channels): a global-attention block in
         # the same graph otherwise flips the 4D activation layout and every
         # LN reduction becomes ~4x slower and unfused (measured ~0.84ms vs

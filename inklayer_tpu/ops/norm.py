@@ -18,6 +18,54 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _ln_res_kernel(x_ref, y_ref, scale_ref, bias_ref, s_ref, o_ref, *,
+                   eps: float):
+    s = x_ref[...].astype(jnp.float32) + y_ref[...].astype(jnp.float32)
+    mean = jnp.mean(s, axis=-1, keepdims=True)
+    sc = s - mean
+    var = jnp.mean(sc * sc, axis=-1, keepdims=True)
+    o = sc * jax.lax.rsqrt(var + eps)
+    o = o * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    s_ref[...] = s.astype(s_ref.dtype)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_n", "interpret"))
+def layernorm_residual_2d(x: jax.Array, y: jax.Array, scale: jax.Array,
+                          bias: jax.Array, *, eps: float = 1e-6,
+                          block_n: int = 512, interpret: bool = False):
+    """Fused residual-add + LayerNorm: returns (x + y, LN(x + y)).
+
+    One pass instead of a separate add_add fusion (which XLA runs ~5x off
+    roofline next to custom calls) followed by the LN; the sum is also
+    needed downstream as the next shortcut, so both outputs are written."""
+    n, c = x.shape
+    np_ = ((n + block_n - 1) // block_n) * block_n
+    if np_ != n:
+        x = jnp.pad(x, ((0, np_ - n), (0, 0)))
+        y = jnp.pad(y, ((0, np_ - n), (0, 0)))
+    s, o = pl.pallas_call(
+        functools.partial(_ln_res_kernel, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct((np_, c), x.dtype),
+                   jax.ShapeDtypeStruct((np_, c), x.dtype)),
+        grid=(np_ // block_n,),
+        in_specs=[
+            pl.BlockSpec((block_n, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((block_n, c), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((block_n, c), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(x, y, scale, bias)
+    return s[:n], o[:n]
+
+
 def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps: float):
     x = x_ref[...].astype(jnp.float32)  # (bn, C)
     mean = jnp.mean(x, axis=-1, keepdims=True)
