@@ -32,6 +32,40 @@ def _placeholder_params(model, *example_args, seed: int = 0):
     return jax.tree_util.tree_unflatten(treedef, filled)
 
 
+def build_detector(cfg: PipelineConfig = PipelineConfig(),
+                   models_dir: Optional[str] = None,
+                   dtype: Optional[jnp.dtype] = None,
+                   vocab_path: Optional[str] = None) -> GDinoDetector:
+    """Standalone GDINO detector (used by the mmdet-contract alt route and
+    tooling that needs detection without the full pipeline)."""
+    if dtype is None:
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    gmodel = GroundingDINO(cfg.gdino, dtype=dtype)
+    bucket = cfg.gdino.shape_buckets[0]
+    ids = np.asarray([[101, 4874, 1012, 102]], np.int32)
+    attn, pos = subsentence_masks(ids)
+    g_args = (jnp.zeros((1,) + bucket + (3,)), jnp.zeros((1,) + bucket, bool),
+              jnp.asarray(ids), jnp.asarray(attn),
+              jnp.asarray(pos.astype(np.int32)))
+    gd_ckpt = None
+    if models_dir:
+        p = os.path.join(models_dir, "inklayer_gdino.pth")
+        gd_ckpt = p if os.path.exists(p) else None
+    if gd_ckpt:
+        from inklayer_tpu.io.weights import load_gdino_params
+        gparams = load_gdino_params(gd_ckpt, cfg.gdino, gmodel, g_args)
+    else:
+        gparams = _placeholder_params(gmodel, *g_args)
+    if vocab_path is None and models_dir:
+        # bert-base-uncased vocab.txt for exact caption tokenization
+        # (reference: groundingdino/util/get_tokenlizer.py AutoTokenizer)
+        vocab_path = _first_existing(
+            os.path.join(models_dir, "bert-base-uncased", "vocab.txt"),
+            os.path.join(models_dir, "vocab.txt"))
+    return GDinoDetector(gparams, cfg.gdino, dtype=dtype,
+                         vocab_path=vocab_path)
+
+
 def build_pipeline(cfg: PipelineConfig = PipelineConfig(),
                    models_dir: Optional[str] = None,
                    dtype: Optional[jnp.dtype] = None,
@@ -49,28 +83,8 @@ def build_pipeline(cfg: PipelineConfig = PipelineConfig(),
                 return p
         return None
 
-    # ---- GroundingDINO -------------------------------------------------
-    gmodel = GroundingDINO(cfg.gdino, dtype=dtype)
-    bucket = cfg.gdino.shape_buckets[0]
-    ids = np.asarray([[101, 4874, 1012, 102]], np.int32)
-    attn, pos = subsentence_masks(ids)
-    g_args = (jnp.zeros((1,) + bucket + (3,)), jnp.zeros((1,) + bucket, bool),
-              jnp.asarray(ids), jnp.asarray(attn),
-              jnp.asarray(pos.astype(np.int32)))
-    gd_ckpt = ckpt("inklayer_gdino.pth")
-    if gd_ckpt:
-        from inklayer_tpu.io.weights import load_gdino_params
-        gparams = load_gdino_params(gd_ckpt, cfg.gdino, gmodel, g_args)
-    else:
-        gparams = _placeholder_params(gmodel, *g_args)
-    if vocab_path is None and models_dir:
-        # bert-base-uncased vocab.txt for exact caption tokenization
-        # (reference: groundingdino/util/get_tokenlizer.py AutoTokenizer)
-        vocab_path = _first_existing(
-            os.path.join(models_dir, "bert-base-uncased", "vocab.txt"),
-            os.path.join(models_dir, "vocab.txt"))
-    detector = GDinoDetector(gparams, cfg.gdino, dtype=dtype,
-                             vocab_path=vocab_path)
+    detector = build_detector(cfg, models_dir=models_dir, dtype=dtype,
+                              vocab_path=vocab_path)
 
     # ---- SAM ------------------------------------------------------------
     smodel = Sam(cfg.sam, dtype=dtype)

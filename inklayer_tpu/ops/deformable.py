@@ -175,9 +175,59 @@ def _pallas_fused_levels_kernel(spatial_shapes, d: int, n_levels: int,
     return kern
 
 
+def _pallas_fused_levels_kernel_v3(spatial_shapes, d: int, n_levels: int,
+                                   n_points: int, bq: int):
+    """Point-concat variant of the fused all-levels kernel: the n_points
+    per-point matmuls of each level collapse into TWO matmuls with
+    n_points*bq rows (points stacked along sublanes).  Same FLOPs, but
+    4x fewer / 4x taller MXU ops — the per-point version issues 32 small
+    matmuls per program and spends most of its time sequencing them
+    (measured 8.25 ms/encoder-layer at ~40% MXU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(y_ref, x_ref, w_ref, *refs):
+        v_refs = refs[:n_levels]
+        o_ref = refs[n_levels]
+        acc = jnp.zeros((bq, d), jnp.float32)
+        for lvl, (hh, ww) in enumerate(spatial_shapes):
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (bq, hh), 1).astype(jnp.float32)
+            cols = jax.lax.broadcasted_iota(
+                jnp.int32, (bq, ww), 1).astype(jnp.float32)
+            col_g = jax.lax.broadcasted_iota(jnp.int32, (d * ww, d), 1)
+            row_g = jax.lax.broadcasted_iota(jnp.int32, (d * ww, d), 0)
+            reduce = (row_g // ww == col_g).astype(jnp.bfloat16)
+            v = v_refs[lvl][0]  # (hh, d*ww) bf16, w-minor
+            k0 = lvl * n_points
+            # per-point selector rows, stacked along sublanes AFTER the
+            # full-width elementwise ops (Mosaic cannot concat lane-offset
+            # (bq, 1) slices along dim 0)
+            sys_, sxs = [], []
+            for p in range(n_points):
+                yv = y_ref[0, :, k0 + p][:, None]
+                xv = x_ref[0, :, k0 + p][:, None]
+                wlp = w_ref[0, :, k0 + p][:, None]
+                sys_.append(jnp.maximum(0.0, 1.0 - jnp.abs(yv - rows))
+                            .astype(jnp.bfloat16))
+                sxs.append(jnp.maximum(0.0, 1.0 - jnp.abs(xv - cols)) * wlp)
+            sy = jnp.concatenate(sys_, axis=0)  # (n_points*bq, hh)
+            sx = jnp.concatenate(sxs, axis=0)   # (n_points*bq, ww)
+            t = jnp.dot(sy, v, preferred_element_type=jnp.float32
+                        ).astype(jnp.bfloat16)  # (pbq, d*ww)
+            sx_exp = pltpu.repeat(sx.astype(jnp.bfloat16), d, axis=1)
+            r = jnp.dot(t * sx_exp, reduce,
+                        preferred_element_type=jnp.float32)  # (pbq, d)
+            for p in range(n_points):
+                acc = acc + r[p * bq:(p + 1) * bq]
+        o_ref[0] = acc
+
+    return kern
+
+
 def _ms_deform_attn_pallas_fused(value, spatial_shapes, sampling_locations,
                                  attention_weights, block_q: int = 256,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 kernel_version: int = 3):
     """Single-pallas_call variant: grid (b*heads, q-blocks), all levels and
     points computed per program."""
     from jax.experimental import pallas as pl
@@ -214,13 +264,25 @@ def _ms_deform_attn_pallas_fused(value, spatial_shapes, sampling_locations,
         vs.append(v.reshape(b, hh, ww, h, d).transpose(0, 3, 1, 4, 2)
                   .reshape(bh, hh, d * ww))
 
-    kern = _pallas_fused_levels_kernel(spatial_shapes, d, n_levels,
-                                       n_points, bq)
+    kern = (_pallas_fused_levels_kernel_v3 if kernel_version == 3
+            else _pallas_fused_levels_kernel)(spatial_shapes, d, n_levels,
+                                              n_points, bq)
     lp = n_levels * n_points
+    # v3 holds (n_points*bq, d*ww) intermediates for the largest level in
+    # VMEM (~13MB at bq=256 for GDINO shapes) — raise the scoped limit
+    params = {}
+    if kernel_version == 3 and not interpret:
+        try:
+            from jax.experimental.pallas import tpu as pltpu_mod
+            params["compiler_params"] = pltpu_mod.CompilerParams(
+                vmem_limit_bytes=100 * 2 ** 20)
+        except Exception:  # pragma: no cover - older pallas API
+            pass
     o = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((bh, qp, d), jnp.float32),
         grid=(bh, qp // bq),
+        **params,
         in_specs=[
             pl.BlockSpec((1, bq, lp), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),

@@ -74,3 +74,23 @@ def test_pallas_impl_matches_oracle_interpret(rng):
     ref = ms_deform_attn_ref(value, shapes, locs, wts)
     # kernel uses bf16 weight/value matmuls by design
     np.testing.assert_allclose(np.asarray(out), ref, atol=0.05, rtol=0.05)
+
+
+def test_pallas_fused_v3_matches_oracle_interpret(rng):
+    """Point-concat fused all-levels kernel (the TPU default path)."""
+    from inklayer_tpu.ops.deformable import _ms_deform_attn_pallas_fused
+
+    b, heads, d = 1, 2, 8
+    shapes = ((10, 12), (5, 6))
+    n_tokens = sum(h * w for h, w in shapes)
+    lq, n_points = 9, 4
+    value = rng.standard_normal((b, n_tokens, heads, d)).astype(np.float32)
+    locs = rng.uniform(-0.2, 1.2, (b, lq, heads, len(shapes), n_points, 2)
+                       ).astype(np.float32)
+    wts = rng.random((b, lq, heads, len(shapes), n_points)).astype(np.float32)
+    ref = ms_deform_attn_ref(value, shapes, locs, wts)
+    for kv in (2, 3):
+        out = _ms_deform_attn_pallas_fused(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(wts),
+            block_q=8, interpret=True, kernel_version=kv)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=0.05, rtol=0.05)
