@@ -123,93 +123,117 @@ def connected_components(mask: jax.Array, connectivity: int = 8,
     return jnp.where(mask, lbl, -1)
 
 
-def _cc_pallas_kernel(h: int, w: int, w_orig: int, connectivity: int,
-                      iters: int):
-    """Whole CC propagation for ONE mask in VMEM.  Same algorithm as the
-    XLA version (8-neighbour min + run-gated log-doubling scans) but one
-    HBM read + one write per mask instead of ~40 HBM passes per iteration.
+_PBIG = 2 ** 30  # python int: a jnp scalar would be a captured constant
+
+
+def _cc_label_body(mask, h: int, w: int, w_orig: int, connectivity: int,
+                   iters: int):
+    """In-kernel CC propagation for ONE (h, w) bool mask held in VMEM.
+    Same algorithm as the XLA version (8-neighbour min + run-gated
+    log-doubling scans).  Returns int32 labels with _PBIG at background.
     Labels use the ORIGINAL row stride (y * w_orig + x) so results match the
     XLA path on the unpadded image exactly."""
     from jax.experimental.pallas import tpu as pltpu
 
-    big = 2 ** 30  # python int: a jnp scalar would be a captured constant
+    big = _PBIG
 
     def _roll(x, s, axis):
         n = h if axis == 0 else w
         return pltpu.roll(x, s % n, axis=axis)  # pltpu.roll needs s >= 0
 
-    def kern(m_ref, o_ref):
-        mask = m_ref[0] != 0  # (h, w) padded
-        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        mi = mask.astype(jnp.int32)  # Mosaic rotate needs 32-bit data
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    mi = mask.astype(jnp.int32)  # Mosaic rotate needs 32-bit data
 
-        def run_len(m32, axis):
-            """Count of consecutive mask pixels ending at x along `axis`
-            (Hillis-Steele), as a fori over the exponent with DYNAMIC roll
-            shifts: an unrolled chain keeps ~20 (H, W) i32 transients live
-            and blows the 16MB scoped-VMEM budget."""
-            n = h if axis == 0 else w
-            pos = yy if axis == 0 else xx
+    def run_len(m32, axis):
+        """Count of consecutive mask pixels ending at x along `axis`
+        (Hillis-Steele), as a fori over the exponent with DYNAMIC roll
+        shifts: an unrolled chain keeps ~20 (H, W) i32 transients live
+        and blows the 16MB scoped-VMEM budget."""
+        n = h if axis == 0 else w
+        pos = yy if axis == 0 else xx
+        ksteps = max(1, (n - 1).bit_length())
+
+        def step(k, r):
+            d = jax.lax.shift_left(jnp.int32(1), k)
+            shifted = pltpu.roll(r, d, axis=axis)
+            ok = (r == d) & (pos >= d)
+            return r + jnp.where(ok, shifted, 0)
+
+        return jax.lax.fori_loop(0, ksteps, step, m32)
+
+    rr = run_len(mi, 1)
+    rc = run_len(mi, 0)
+
+    lbl0 = jnp.where(mask, yy * w_orig + xx, big)
+
+    shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    if connectivity == 8:
+        shifts += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+
+    def body(_, lbl):
+        out = lbl
+        for dy, dx in shifts:
+            s = lbl
+            if dy:
+                s = _roll(s, dy, 0)
+            if dx:
+                s = _roll(s, dx, 1)
+            guard = jnp.full((h, w), True)
+            if dy == 1:
+                guard &= yy > 0
+            elif dy == -1:
+                guard &= yy < h - 1
+            if dx == 1:
+                guard &= xx > 0
+            elif dx == -1:
+                guard &= xx < w - 1
+            out = jnp.minimum(out, jnp.where(guard, s, big))
+        lbl = jnp.where(mask, out, big)
+
+        def axis_pass(lbl, gate, axis, n):
             ksteps = max(1, (n - 1).bit_length())
 
-            def step(k, r):
+            def step(k, lbl):
                 d = jax.lax.shift_left(jnp.int32(1), k)
-                shifted = pltpu.roll(r, d, axis=axis)
-                ok = (r == d) & (pos >= d)
-                return r + jnp.where(ok, shifted, 0)
+                fwd = pltpu.roll(lbl, d, axis=axis)
+                lbl = jnp.where(gate > d, jnp.minimum(lbl, fwd), lbl)
+                bwd = pltpu.roll(lbl, n - d, axis=axis)
+                # x may pull from x+d iff [x, x+d] is one run iff
+                # gate[x+d] > d; wrap-safe: gate[y] <= y+1 along the axis
+                gshift = pltpu.roll(gate, n - d, axis=axis)
+                return jnp.where(gshift > d, jnp.minimum(lbl, bwd), lbl)
 
-            return jax.lax.fori_loop(0, ksteps, step, m32)
+            return jax.lax.fori_loop(0, ksteps, step, lbl)
 
-        rr = run_len(mi, 1)
-        rc = run_len(mi, 0)
+        lbl = axis_pass(lbl, rr, 1, w)
+        lbl = axis_pass(lbl, rc, 0, h)
+        return lbl
 
-        lbl0 = jnp.where(mask, yy * w_orig + xx, big)
+    # early exit on fixpoint: blob-like masks converge in 2-4 iterations
+    # (and empty/tiny masks in 1), vs the worst-case `iters` bound
+    def wcond(state):
+        i, changed, _ = state
+        return changed & (i < iters)
 
-        shifts = [(0, 1), (0, -1), (1, 0), (-1, 0)]
-        if connectivity == 8:
-            shifts += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+    def wbody(state):
+        i, _, lbl = state
+        new = body(0, lbl)
+        return i + 1, jnp.any(new != lbl), new
 
-        def body(_, lbl):
-            out = lbl
-            for dy, dx in shifts:
-                s = lbl
-                if dy:
-                    s = _roll(s, dy, 0)
-                if dx:
-                    s = _roll(s, dx, 1)
-                guard = jnp.full((h, w), True)
-                if dy == 1:
-                    guard &= yy > 0
-                elif dy == -1:
-                    guard &= yy < h - 1
-                if dx == 1:
-                    guard &= xx > 0
-                elif dx == -1:
-                    guard &= xx < w - 1
-                out = jnp.minimum(out, jnp.where(guard, s, big))
-            lbl = jnp.where(mask, out, big)
+    _, _, lbl = jax.lax.while_loop(
+        wcond, wbody, (jnp.int32(0), jnp.bool_(True), lbl0))
+    return lbl
 
-            def axis_pass(lbl, gate, axis, n):
-                ksteps = max(1, (n - 1).bit_length())
 
-                def step(k, lbl):
-                    d = jax.lax.shift_left(jnp.int32(1), k)
-                    fwd = pltpu.roll(lbl, d, axis=axis)
-                    lbl = jnp.where(gate > d, jnp.minimum(lbl, fwd), lbl)
-                    bwd = pltpu.roll(lbl, n - d, axis=axis)
-                    # x may pull from x+d iff [x, x+d] is one run iff
-                    # gate[x+d] > d; wrap-safe: gate[y] <= y+1 along the axis
-                    gshift = pltpu.roll(gate, n - d, axis=axis)
-                    return jnp.where(gshift > d, jnp.minimum(lbl, bwd), lbl)
+def _cc_pallas_kernel(h: int, w: int, w_orig: int, connectivity: int,
+                      iters: int):
+    """Whole CC for ONE mask in VMEM: one HBM read + one write per mask
+    instead of ~40 HBM passes per iteration in the XLA formulation."""
 
-                return jax.lax.fori_loop(0, ksteps, step, lbl)
-
-            lbl = axis_pass(lbl, rr, 1, w)
-            lbl = axis_pass(lbl, rc, 0, h)
-            return lbl
-
-        lbl = jax.lax.fori_loop(0, iters, body, lbl0)
+    def kern(m_ref, o_ref):
+        mask = m_ref[0] != 0  # (h, w) padded
+        lbl = _cc_label_body(mask, h, w, w_orig, connectivity, iters)
         o_ref[0] = jnp.where(mask, lbl, -1)
 
     return kern
@@ -245,6 +269,109 @@ def _connected_components_pallas(masks: jax.Array, connectivity: int = 8,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(m)
     return out[:, :h, :w]
+
+
+def _clean_keep_kernel(h: int, w: int, w_orig: int, connectivity: int,
+                       iters: int, min_area: int, min_aspect: float,
+                       max_components: int):
+    """Fused CC + component-keep for ONE mask in VMEM: labels never touch
+    HBM.  After labelling, loops over actual components (extract min
+    remaining label -> stats -> keep decision) with early exit when
+    exhausted — real cleaned masks have a handful of components, so this
+    beats the fixed 16x(8,H,W) chunked reduction it replaces by ~an order
+    of magnitude.  Components beyond `max_components` are conservatively
+    KEPT, matching `component_keep` semantics."""
+
+    def kern(m_ref, o_ref):
+        mask = m_ref[0] != 0  # (h, w) padded
+        lbl = _cc_label_body(mask, h, w, w_orig, connectivity, iters)
+        big = _PBIG
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+        def cond(state):
+            i, r, _, _ = state
+            return (r < big) & (i < max_components)
+
+        # keep is carried as i32 (0/1): Mosaic rejects i1 vectors in
+        # while_loop carries (vpad layout mismatch on scf.yield)
+        def body(state):
+            i, r, rem, keep = state
+            eq = lbl == r
+            area = jnp.sum(eq.astype(jnp.int32))
+            ymin = jnp.min(jnp.where(eq, yy, big))
+            ymax = jnp.max(jnp.where(eq, yy, -1))
+            xmin = jnp.min(jnp.where(eq, xx, big))
+            xmax = jnp.max(jnp.where(eq, xx, -1))
+            ww = (xmax - xmin + 1).astype(jnp.float32)
+            hh = (ymax - ymin + 1).astype(jnp.float32)
+            aspect = jnp.maximum(ww, hh) / (jnp.minimum(ww, hh) + 1e-5)
+            keep_c = (area > min_area) | (aspect > min_aspect)
+            keep = jnp.where(eq & keep_c, 1, keep)
+            rem = jnp.where(eq, big, rem)
+            return i + 1, jnp.min(rem), rem, keep
+
+        rem0 = lbl  # big at background already
+        state = (jnp.int32(0), jnp.min(rem0), rem0,
+                 jnp.zeros((h, w), jnp.int32))
+        _, _, rem, keep = jax.lax.while_loop(cond, body, state)
+        # leftover components past the cap: conservatively keep
+        o_ref[0] = ((keep != 0) | (rem < big)).astype(jnp.int8)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "iters",
+                                             "min_area", "min_aspect",
+                                             "max_components"))
+def _clean_components_pallas(masks: jax.Array, min_area: int,
+                             min_aspect: float, connectivity: int = 8,
+                             iters: int = 16,
+                             max_components: int = 256) -> jax.Array:
+    """masks: (N, H, W) bool -> (N, H, W) bool, keeping only components with
+    area > min_area OR bbox aspect > min_aspect.  One grid program per mask,
+    everything VMEM-resident."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w = masks.shape
+    hp = ((h + 7) // 8) * 8
+    wp = ((w + 127) // 128) * 128
+    m = masks.astype(jnp.int8)
+    if (hp, wp) != (h, w):
+        m = jnp.pad(m, ((0, 0), (0, hp - h), (0, wp - w)))
+    kern = _clean_keep_kernel(hp, wp, w, connectivity, iters, min_area,
+                              min_aspect, max_components)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, hp, wp), jnp.int8),
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, hp, wp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(m)
+    return out[:, :h, :w] != 0
+
+
+def clean_components_batch(masks: jax.Array, min_area: int,
+                           min_aspect: float, connectivity: int = 8,
+                           max_iters: int = 64) -> jax.Array:
+    """(N, H, W) bool -> (N, H, W) bool: drop components failing
+    area > min_area OR aspect > min_aspect (clean_up_mask :24-33).  Fused
+    Pallas path on TPU; CC + component_keep composition elsewhere."""
+    n, h, w = masks.shape
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and n > 0 and h * w * 4 <= 5 * 2 ** 20:
+        return _clean_components_pallas(masks, min_area, min_aspect,
+                                        connectivity)
+    labels = jax.vmap(
+        lambda m: connected_components(m, connectivity, max_iters))(masks)
+    keep = jax.vmap(
+        lambda l: component_keep(l, min_area, min_aspect))(labels)
+    return masks & keep
 
 
 def connected_components_batch(masks: jax.Array, connectivity: int = 8,

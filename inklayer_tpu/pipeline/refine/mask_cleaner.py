@@ -18,8 +18,7 @@ import numpy as np
 
 from inklayer_tpu.config import RefineConfig
 from inklayer_tpu.ops import morphology as M
-from inklayer_tpu.ops.components import (component_keep,
-                                         connected_components_batch)
+from inklayer_tpu.ops.components import clean_components_batch
 
 
 def kernel_size(image_hw, factor: float = 0.025) -> int:
@@ -38,10 +37,7 @@ def clean_masks(
     binary = masks > (127 if masks.dtype == jnp.uint8 else 0)
     se = M.rect_kernel(max(k, 1))
     closed = M.morph_close(binary, se)
-    labels = connected_components_batch(closed)
-    keep = jax.vmap(
-        lambda l: component_keep(l, min_area, min_aspect))(labels)
-    return closed & keep
+    return clean_components_batch(closed, min_area, min_aspect)
 
 
 def run_clean_masks(masks, cfg: RefineConfig = RefineConfig()) -> np.ndarray:

@@ -33,22 +33,31 @@ def _to_gray(rgb: np.ndarray) -> np.ndarray:
     return np.asarray(Image.fromarray(rgb).convert("L"))
 
 
+_QUANTIZE_DEPTH_JIT = None
+
+
 def _quantize_depth(depth):
     """Device (H, W) float depth -> uint8 0-255 normalized ON DEVICE
     (refiner.py:419-423 normalization), so the depth_map.png contract costs a
-    4x-smaller readback than the float map."""
-    import jax
-    import jax.numpy as jnp
+    4x-smaller readback than the float map.  The jit is module-cached: a
+    fresh closure per call would retrace and re-upload the executable every
+    image (~0.5 s through the device tunnel)."""
+    global _QUANTIZE_DEPTH_JIT
+    if _QUANTIZE_DEPTH_JIT is None:
+        import jax
+        import jax.numpy as jnp
 
-    @jax.jit
-    def q(d):
-        lo, hi = d.min(), d.max()
-        rng = hi - lo
-        norm = jnp.where(rng > 0, (d - lo) / jnp.maximum(rng, 1e-12) * 255.0,
-                         jnp.zeros_like(d))
-        return norm.astype(jnp.uint8)
+        @jax.jit
+        def q(d):
+            lo, hi = d.min(), d.max()
+            rng = hi - lo
+            norm = jnp.where(rng > 0,
+                             (d - lo) / jnp.maximum(rng, 1e-12) * 255.0,
+                             jnp.zeros_like(d))
+            return norm.astype(jnp.uint8)
 
-    return q(depth)
+        _QUANTIZE_DEPTH_JIT = q
+    return _QUANTIZE_DEPTH_JIT(depth)
 
 
 @dataclass

@@ -58,6 +58,42 @@ def test_component_stats(rng):
     assert area[0, 0] == 0
 
 
+def test_clean_keep_fused_kernel_matches_xla_composition(rng):
+    """Interpret-mode run of the fused CC+keep Pallas kernel vs the XLA
+    connected_components + component_keep composition (the CPU path of
+    clean_components_batch)."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    from inklayer_tpu.ops import components as C
+
+    n, h, w = 4, 64, 128
+    masks = np.zeros((n, h, w), bool)
+    r = np.random.RandomState(0)
+    for i in range(n):
+        for _ in range(r.randint(1, 5)):
+            y, x = r.randint(0, h - 20), r.randint(0, w - 20)
+            masks[i, y:y + r.randint(2, 30), x:x + r.randint(2, 30)] = True
+        masks[i] |= r.rand(h, w) < 0.003
+    m = jnp.asarray(masks)
+
+    kern = C._clean_keep_kernel(h, w, w, 8, 16, 50, 1.1, 256)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.int8),
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+        interpret=True,
+    )(m.astype(jnp.int8))
+    got = np.asarray(out) != 0
+
+    labels = jax.vmap(lambda x: connected_components(x, 8, 64))(m)
+    keep = jax.vmap(lambda l: C.component_keep(l, 50, 1.1))(labels)
+    want = np.asarray(m & keep)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_large_component_mask():
     img = np.zeros((20, 20), bool)
     img[1:3, 1:3] = True  # area 4
