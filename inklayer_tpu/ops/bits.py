@@ -74,6 +74,47 @@ def disjoint_masks_to_host(masks_dev: jax.Array) -> np.ndarray:
     return lab[None, :, :] == np.arange(1, n + 1, dtype=np.uint8)[:, None, None]
 
 
+def batched_final_readback(stacks, arrays=()):
+    """Read several DISJOINT mask stacks plus extra device arrays in ONE
+    tunnel round-trip.
+
+    Each separate np.asarray(device_arr) pays a full ~35ms RTT through the
+    axon tunnel; jax.device_get on the combined list batches them.  Returns
+    (list of (N, H, W) bool host stacks, list of host extras)."""
+    reqs = []
+    payload = []
+    for stk in stacks:
+        n = stk.shape[0]
+        if n == 0:
+            reqs.append(("empty", stk.shape))
+        elif n > 255:
+            reqs.append(("packed", stk.shape[-1]))
+            payload.append(pack_bits(stk))
+        else:
+            reqs.append(("label", (n, stk)))
+            lab, ok = _label_map_u8(stk)
+            payload.extend((lab, ok))
+    payload.extend(arrays)
+    flat = jax.device_get(payload)
+    out, i = [], 0
+    for kind, meta in reqs:
+        if kind == "empty":
+            out.append(np.zeros(meta, bool))
+        elif kind == "packed":
+            out.append(unpack_bits_host(flat[i], meta))
+            i += 1
+        else:
+            n, stk = meta
+            lab, ok = flat[i], flat[i + 1]
+            i += 2
+            if bool(ok):
+                out.append(lab[None, :, :] ==
+                           np.arange(1, n + 1, dtype=np.uint8)[:, None, None])
+            else:  # overlapping stack (shouldn't happen): packed fallback
+                out.append(masks_to_host(stk))
+    return out, list(flat[i:])
+
+
 def masks_to_device(masks_np: np.ndarray) -> jax.Array:
     """Host bool -> device bool via packed upload."""
     if masks_np.size == 0:

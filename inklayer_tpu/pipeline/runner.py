@@ -179,7 +179,12 @@ class InkLayerPipeline:
         gray = _to_gray(image)
 
         out_dir = io_out.prepare_out_dir(out_base_dir, input_name)
-        image_pil.save(os.path.join(out_dir, "input.png"))
+
+        # host writes go to the writer threads even in standalone runs so
+        # PNG encodes overlap device compute; drained before returning
+        was_async = self.async_io
+        self.async_io = True
+        self._submit(image_pil.save, os.path.join(out_dir, "input.png"))
 
         # single host->device upload of the input image; every stage's
         # jnp.asarray(image) is then a no-op (the tunnel makes repeated
@@ -188,13 +193,33 @@ class InkLayerPipeline:
 
         image_dev = _jnp.asarray(image)
 
+        # ---- device dispatch ahead of the first readback -----------------
+        # detect, SAM encode and depth are all image-only: enqueue all three
+        # NOW (jax dispatch is async) so the device streams through them
+        # while the host blocks on the detect readback and does bbox
+        # json/draw/PNG work — instead of idling between serialized stages
+        t0 = time.perf_counter()
+        det_fin = self._det_cache.get(input_path)
+        if det_fin is None:
+            det_fin = self.detector.detect_dispatch(image_dev)
+        self.stage_times.add("detect", time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        sam_state = self._sam_state_cache.get(input_path)
+        if sam_state is not None:
+            self.sam.set_image_state(sam_state)
+        else:
+            self.sam.set_image(image_dev)  # async ViT-H encode dispatch
+        self.stage_times.add("segment", time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        depth = self.depth.infer_image_device(image_dev)
+        depth_u8 = _quantize_depth(depth)
+        self.stage_times.add("depth", time.perf_counter() - t0)
+
         # ---- detection -------------------------------------------------
         t0 = time.perf_counter()
-        det = self._det_cache.get(input_path)
-        if callable(det):  # pipelined dispatch from run_dir — finalize now
-            det = det()
-        if det is None:
-            det = self.detector.detect(image_dev)
+        det = det_fin() if callable(det_fin) else det_fin
         self.stage_times.add("detect", time.perf_counter() - t0)
         boxes_cxcywh = det["boxes"]  # normalized
         scores = det["scores"]
@@ -207,11 +232,14 @@ class InkLayerPipeline:
         ], axis=-1) if len(boxes_cxcywh) else np.zeros((0, 4))
         boxes_abs = (xyxy_norm * np.asarray([w, h, w, h])).astype(int).astype(float)
 
-        io_out.save_norm_bboxes(boxes_abs, scores, image_pil.size,
-                                os.path.join(out_dir, "bboxes.json"))
-        io_out.draw_boxes_image(image_pil, xyxy_norm.tolist(), scores,
-                                labels=det.get("labels")).save(
-            os.path.join(out_dir, "bboxes.png"))
+        def write_bbox_outputs():
+            io_out.save_norm_bboxes(boxes_abs, scores, image_pil.size,
+                                    os.path.join(out_dir, "bboxes.json"))
+            io_out.draw_boxes_image(image_pil, xyxy_norm.tolist(), scores,
+                                    labels=det.get("labels")).save(
+                os.path.join(out_dir, "bboxes.png"))
+
+        self._submit(write_bbox_outputs)
 
         # ---- segmentation (masks stay on device) -------------------------
         import jax.numpy as jnp
@@ -220,11 +248,6 @@ class InkLayerPipeline:
 
         t0 = time.perf_counter()
         if len(boxes_abs):
-            state = self._sam_state_cache.get(input_path)
-            if state is not None:
-                self.sam.set_image_state(state)
-            else:
-                self.sam.set_image(image_dev)
             masks_dev, _iou = self.sam.predict_device(boxes_abs)
         else:
             masks_dev = jnp.zeros((0, h, w), bool)
@@ -289,14 +312,10 @@ class InkLayerPipeline:
                                 final_data["scores"]).save(
             os.path.join(out_dir, "bboxes_final.png"))
 
-        # ---- depth + refinement ------------------------------------------
-        # depth stays on device: the depth-sort consumes it there and the
-        # depth_map.png contract needs only a quantized uint8 readback
-        t0 = time.perf_counter()
-        depth = self.depth.infer_image_device(image_dev)
-        depth_u8 = _quantize_depth(depth)
-        self.stage_times.add("depth", time.perf_counter() - t0)
-
+        # ---- refinement --------------------------------------------------
+        # (depth was dispatched up front; it stays on device — the
+        # depth-sort consumes it there and the depth_map.png contract needs
+        # only a quantized uint8 readback)
         t0 = time.perf_counter()
         if len(kept):
             kept_masks = cleaned_dev[np.asarray(kept)]
@@ -318,17 +337,22 @@ class InkLayerPipeline:
         def write_final_outputs(disjoint_dev_, final_dev_, depth_u8_):
             # masks_disjoint is needed on disk when inpainting runs (the
             # per-layer assembly and the web single-layer editor read it).
-            # Both stacks are disjoint by construction -> single uint8
-            # label-map transfers (8x less tunnel traffic than bit-planes).
-            from inklayer_tpu.ops.bits import disjoint_masks_to_host
+            # Both stacks are disjoint by construction -> uint8 label-map
+            # transfers (8x less tunnel traffic than bit-planes), and ALL
+            # final readbacks batch into ONE tunnel round-trip.
+            from inklayer_tpu.ops.bits import batched_final_readback
 
-            if not no_intermediate or inpaint:
-                io_out.save_masks_dir(disjoint_masks_to_host(disjoint_dev_),
+            need_disjoint = not no_intermediate or inpaint
+            stacks = ([disjoint_dev_, final_dev_] if need_disjoint
+                      else [final_dev_])
+            host_stacks, extras = batched_final_readback(stacks, [depth_u8_])
+            if need_disjoint:
+                io_out.save_masks_dir(host_stacks[0],
                                       os.path.join(out_dir, "masks_disjoint"))
-            final_masks = disjoint_masks_to_host(final_dev_)
+            final_masks = host_stacks[-1]
             io_out.save_masks_dir(final_masks,
                                   os.path.join(out_dir, "masks_final"))
-            Image.fromarray(np.asarray(depth_u8_)).convert("RGB").save(
+            Image.fromarray(extras[0]).convert("RGB").save(
                 os.path.join(out_dir, "depth_map.png"))
             final_seg = color_sketch_by_masks(image, list(final_masks))
             Image.fromarray(final_seg).save(
@@ -350,4 +374,7 @@ class InkLayerPipeline:
         if no_intermediate:
             self.drain()  # all writes to this dir must land before cleanup
             io_out.cleanup_intermediate(out_dir)
+        self.async_io = was_async
+        if not was_async:
+            self.drain()  # standalone run: all outputs on disk on return
         return out_dir

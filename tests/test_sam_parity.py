@@ -101,6 +101,48 @@ def test_image_encoder_parity(torch_modules, converted, rng):
     np.testing.assert_allclose(ours_nchw, ref, atol=2e-4, rtol=1e-3)
 
 
+def test_image_encoder_parity_padded_windows(refsam, rng, tmp_path):
+    """window_size=3 with a 4x4 patch grid forces bottom/right padding in
+    every windowed block — validates the shared-partition stream's pad-row
+    zeroing (the reference re-pads zeros after norm1 in each block)."""
+    torch.manual_seed(1)
+    enc = refsam["image_encoder"].ImageEncoderViT(
+        img_size=64, patch_size=16, embed_dim=32, depth=3, num_heads=2,
+        mlp_ratio=4.0, out_chans=32, qkv_bias=True, use_rel_pos=True,
+        window_size=3, global_attn_indexes=(1,),
+        norm_layer=torch.nn.LayerNorm, act_layer=torch.nn.GELU)
+    enc.eval()
+    pe = refsam["prompt_encoder"].PromptEncoder(
+        embed_dim=32, image_embedding_size=(4, 4), input_image_size=(64, 64),
+        mask_in_chans=16)
+    dec = refsam["mask_decoder"].MaskDecoder(
+        transformer_dim=32,
+        transformer=refsam["transformer"].TwoWayTransformer(
+            depth=2, embedding_dim=32, mlp_dim=256, num_heads=8),
+        num_multimask_outputs=3, iou_head_depth=3, iou_head_hidden_dim=32)
+    sd = {}
+    for prefix, m in (("image_encoder", enc), ("prompt_encoder", pe),
+                      ("mask_decoder", dec)):
+        for k, v in m.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+    path = str(tmp_path / "sam_ref_w3.pth")
+    torch.save(sd, path)
+    cfg = SamConfig(
+        encoder_embed_dim=32, encoder_depth=3, encoder_num_heads=2,
+        encoder_global_attn_indexes=(1,), encoder_window_size=3,
+        image_size=64, patch_size=16, prompt_embed_dim=32)
+    model = Sam(cfg)
+    args = (jnp.zeros((1, 64, 64, 3)), jnp.zeros((2, 4)))
+    params = W.load_sam_params(path, cfg, model, args)
+
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = enc(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    ours = model.apply(params, jnp.asarray(x), method=Sam.encode)
+    ours_nchw = np.asarray(ours).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours_nchw, ref, atol=2e-4, rtol=1e-3)
+
+
 def test_box_prompt_mask_parity(torch_modules, converted, rng):
     enc, pe, dec = torch_modules
     model, params = converted
