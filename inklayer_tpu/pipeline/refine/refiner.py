@@ -55,13 +55,17 @@ def clean_delicate(mask: jax.Array) -> jax.Array:
 def _disjoint_stats(masks: jax.Array, ink: jax.Array):
     """One fused device call for all the small statistics the host logic
     needs: per-mask ink coverage, pairwise overlap existence, per-mask area,
-    per-composite-label area."""
+    plus the SPECULATIVE composite + per-label areas assuming no mask fails
+    the >90%-ink-cover drop (the common case) — saving the second round-trip
+    through the tunnel when no drop fires."""
     n = masks.shape[0]
     ink_cover = (masks & ink[None]).sum(axis=(1, 2))
     areas = masks.sum(axis=(1, 2))
     flat = masks.reshape(n, -1).astype(jnp.float32)
     overlap = (flat @ flat.T) > 0
-    return ink_cover, areas, overlap
+    composite = composite_masks(masks)
+    label_areas = jnp.zeros((n + 1,), jnp.int32).at[composite.reshape(-1)].add(1)
+    return ink_cover, areas, overlap, composite, label_areas
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -90,10 +94,12 @@ def parse_masks_to_disjoint(
     sorted_boxes = [np.asarray(boxes)[i] for i in order]
 
     ink = jnp.asarray(sketch_gray < cfg.ink_threshold)
-    ink_cover_d, areas_d, overlap_d = _disjoint_stats(sorted_masks, ink)
-    # ONE batched readback (each np.asarray costs a full tunnel RTT)
-    ink_cover, areas, overlap_np, sketch_area = jax.device_get(
-        (ink_cover_d, areas_d, overlap_d, ink.sum()))
+    (ink_cover_d, areas_d, overlap_d, composite_spec,
+     label_areas_spec) = _disjoint_stats(sorted_masks, ink)
+    # ONE batched readback (each np.asarray costs a full tunnel RTT);
+    # the composite/label areas ride along speculatively (no-drop case)
+    ink_cover, areas, overlap_np, label_areas, sketch_area = jax.device_get(
+        (ink_cover_d, areas_d, overlap_d, label_areas_spec, ink.sum()))
     sketch_area = int(sketch_area)
 
     # drop masks covering >90% of the ink, sequentially (refiner :99-110)
@@ -104,12 +110,13 @@ def parse_masks_to_disjoint(
         if remaining > 1 and ink_cover[i] > cfg.max_ink_cover_frac * sketch_area:
             keep_cover[i] = False
             remaining -= 1
-    if not keep_cover.all():
+    if keep_cover.all():
+        composite = composite_spec  # speculation held: no second round-trip
+    else:
         sorted_masks = sorted_masks * jnp.asarray(keep_cover)[:, None, None]
         areas = np.where(keep_cover, areas, 0)
-
-    composite = composite_masks(sorted_masks)
-    label_areas = np.asarray(_composite_label_areas(composite, n))
+        composite = composite_masks(sorted_masks)
+        label_areas = np.asarray(_composite_label_areas(composite, n))
 
     keep_labels = []
     final_info = []
@@ -214,6 +221,33 @@ def match_masks_to_boxes_iou(iou: np.ndarray) -> dict:
     return box_to_mask
 
 
+@jax.jit
+def _greedy_match_device(iou: jax.Array) -> jax.Array:
+    """Device greedy IoU matching: same semantics as
+    match_masks_to_boxes_iou (global argmax, clear row+col, stop at 0) but
+    with no host round-trip — the tiny sequential loop is far cheaper than
+    the ~35ms tunnel RTT the readback costs.  Returns (M,) int32
+    mask-of-box, -1 where unmatched."""
+    m, n = iou.shape
+    iou = iou.astype(jnp.float32)
+
+    def body(_, state):
+        cur, mob = state
+        flat = jnp.argmax(cur)
+        bi = (flat // n).astype(jnp.int32)
+        mi = (flat % n).astype(jnp.int32)
+        do = cur.reshape(-1)[flat] > 0
+        mob = jnp.where(do, mob.at[bi].set(mi), mob)
+        cleared = jnp.where(
+            (jnp.arange(m)[:, None] == bi) | (jnp.arange(n)[None, :] == mi),
+            0.0, cur)
+        return jnp.where(do, cleared, cur), mob
+
+    _, mob = jax.lax.fori_loop(
+        0, min(m, n), body, (iou, jnp.full((m,), -1, jnp.int32)))
+    return mob
+
+
 @functools.partial(jax.jit, static_argnames=("downsample", "iters"))
 def _bbox_assign(masks: jax.Array, boxes: jax.Array, mask_of_box: jax.Array,
                  ink: jax.Array, downsample: int = 4, iters: int = 96):
@@ -250,34 +284,41 @@ def _bbox_assign(masks: jax.Array, boxes: jax.Array, mask_of_box: jax.Array,
 def refine_with_boxes(masks, boxes, sketch_gray: np.ndarray,
                       cfg: RefineConfig = RefineConfig(),
                       downsample: int = 4):
-    """Device orchestration of refine_masks_with_boxes."""
+    """Device orchestration of refine_masks_with_boxes — fully on device
+    (greedy matching included), zero host round-trips."""
     masks = jnp.asarray(masks)
     if masks.shape[0] == 0 or len(boxes) == 0:
         return masks
     ink = jnp.asarray(sketch_gray <= cfg.ink_threshold)
-    iou = np.asarray(_mask_bboxes_and_iou(masks, jnp.asarray(
-        np.asarray(boxes, np.float32))))
-    box_to_mask = match_masks_to_boxes_iou(iou)
-    if not box_to_mask:
-        return masks
-    mask_of_box = np.full(len(boxes), -1, np.int32)
-    for b, mi in box_to_mask.items():
-        mask_of_box[b] = mi
-    return _bbox_assign(masks, jnp.asarray(np.asarray(boxes, np.float32)),
-                        jnp.asarray(mask_of_box), ink, downsample=downsample)
+    boxes_d = jnp.asarray(np.asarray(boxes, np.float32))
+    iou = _mask_bboxes_and_iou(masks, boxes_d)
+    mask_of_box = _greedy_match_device(iou)  # -1 rows no-op in the assign
+    return _bbox_assign(masks, boxes_d, mask_of_box, ink,
+                        downsample=downsample)
 
 
-def add_unlabeled_mask(masks, sketch_gray: np.ndarray,
-                       cfg: RefineConfig = RefineConfig()):
-    """Leftover ink -> MORPH_OPEN(3) -> dilate -> extra mask
-    (create_unlabeled_mask :301-336).  Returns a device array."""
+def _unlabeled_extra(masks, sketch_gray: np.ndarray,
+                     cfg: RefineConfig = RefineConfig()):
+    """Leftover ink -> MORPH_OPEN(3) -> dilate (create_unlabeled_mask
+    :301-336).  Returns ((H, W) bool device mask, device scalar
+    has-any-pixels flag) — no host sync."""
     masks = jnp.asarray(masks)
     ink = jnp.asarray(sketch_gray < cfg.ink_threshold)
     combined = masks.any(axis=0) if masks.shape[0] else jnp.zeros_like(ink)
     unlabeled = ink & ~combined
     opened = M.morph_open(unlabeled, M.rect_kernel(3))
     dilated = M.binary_dilate(opened, M.rect_kernel(3))
-    if int(np.asarray(dilated.sum())) == 0:
+    return dilated, dilated.any()
+
+
+def add_unlabeled_mask(masks, sketch_gray: np.ndarray,
+                       cfg: RefineConfig = RefineConfig()):
+    """Leftover ink extra mask appended when non-empty. Returns a device
+    array (syncs on the emptiness flag; the pipeline uses the deferred
+    variant below instead)."""
+    masks = jnp.asarray(masks)
+    dilated, has = _unlabeled_extra(masks, sketch_gray, cfg)
+    if not bool(has):
         return masks
     return jnp.concatenate([masks, dilated[None]], axis=0)
 
@@ -286,10 +327,25 @@ def improve_masks(masks, boxes, sketch_gray: np.ndarray,
                   cfg: RefineConfig = RefineConfig()):
     """watershed expand -> bbox assignment -> unlabeled extra mask
     (improve_sam_masks :339-370).  Device in/out."""
+    stack, has_extra = improve_masks_deferred(masks, boxes, sketch_gray, cfg)
+    if not bool(has_extra):
+        return stack[:-1]
+    return stack
+
+
+def improve_masks_deferred(masks, boxes, sketch_gray: np.ndarray,
+                           cfg: RefineConfig = RefineConfig()):
+    """improve_masks with the unlabeled-extra-mask emptiness check DEFERRED:
+    returns (stack WITH the candidate extra mask appended, device scalar
+    flag).  The caller folds the flag into its next batched readback and
+    drops the trailing mask when False — removing a dedicated ~35ms tunnel
+    round-trip from the critical path."""
     masks = jnp.asarray(masks)
     if masks.shape[0] == 0:
-        return add_unlabeled_mask(masks, sketch_gray, cfg)
+        dilated, has = _unlabeled_extra(masks, sketch_gray, cfg)
+        return dilated[None], has
     ink = jnp.asarray(~(sketch_gray > cfg.ink_threshold))
     ws = watershed_expand(masks, ink, iters=cfg.watershed_iters)
     bboxed = refine_with_boxes(ws, boxes, sketch_gray, cfg)
-    return add_unlabeled_mask(bboxed, sketch_gray, cfg)
+    dilated, has = _unlabeled_extra(bboxed, sketch_gray, cfg)
+    return jnp.concatenate([bboxed, dilated[None]], axis=0), has

@@ -26,7 +26,8 @@ from inklayer_tpu.io import outputs as io_out
 from inklayer_tpu.ops.color import color_sketch_by_masks, generate_pastel_colors
 from inklayer_tpu.pipeline.refine.mask_cleaner import run_clean_masks
 from inklayer_tpu.pipeline.refine.nms import sketch_nms
-from inklayer_tpu.pipeline.refine.refiner import improve_masks, parse_masks_to_disjoint
+from inklayer_tpu.pipeline.refine.refiner import (improve_masks_deferred,
+                                                  parse_masks_to_disjoint)
 
 
 def _to_gray(rgb: np.ndarray) -> np.ndarray:
@@ -328,28 +329,33 @@ class InkLayerPipeline:
             kept_boxes = np.zeros((0, 4))
         disjoint_dev, sorted_boxes, _info = parse_masks_to_disjoint(
             kept_masks, kept_boxes, gray, depth, cfg.refine)
-        final_dev = improve_masks(
+        final_dev, extra_valid = improve_masks_deferred(
             disjoint_dev,
             np.asarray(sorted_boxes) if len(sorted_boxes) else np.zeros((0, 4)),
             gray, cfg.refine)
         self.stage_times.add("refine", time.perf_counter() - t0)
 
-        def write_final_outputs(disjoint_dev_, final_dev_, depth_u8_):
+        def write_final_outputs(disjoint_dev_, final_dev_, depth_u8_,
+                                extra_valid_):
             # masks_disjoint is needed on disk when inpainting runs (the
             # per-layer assembly and the web single-layer editor read it).
             # Both stacks are disjoint by construction -> uint8 label-map
             # transfers (8x less tunnel traffic than bit-planes), and ALL
-            # final readbacks batch into ONE tunnel round-trip.
+            # final readbacks (incl. the unlabeled-extra-mask validity flag)
+            # batch into ONE tunnel round-trip.
             from inklayer_tpu.ops.bits import batched_final_readback
 
             need_disjoint = not no_intermediate or inpaint
             stacks = ([disjoint_dev_, final_dev_] if need_disjoint
                       else [final_dev_])
-            host_stacks, extras = batched_final_readback(stacks, [depth_u8_])
+            host_stacks, extras = batched_final_readback(
+                stacks, [depth_u8_, extra_valid_])
             if need_disjoint:
                 io_out.save_masks_dir(host_stacks[0],
                                       os.path.join(out_dir, "masks_disjoint"))
             final_masks = host_stacks[-1]
+            if not bool(extras[1]):  # candidate extra mask was empty
+                final_masks = final_masks[:-1]
             io_out.save_masks_dir(final_masks,
                                   os.path.join(out_dir, "masks_final"))
             Image.fromarray(extras[0]).convert("RGB").save(
@@ -358,7 +364,8 @@ class InkLayerPipeline:
             Image.fromarray(final_seg).save(
                 os.path.join(out_dir, "segmented_sketch_final.png"))
 
-        self._submit(write_final_outputs, disjoint_dev, final_dev, depth_u8)
+        self._submit(write_final_outputs, disjoint_dev, final_dev, depth_u8,
+                     extra_valid)
 
         # ---- inpainting ---------------------------------------------------
         if inpaint:

@@ -6,7 +6,11 @@ and the 6-enc/6-dec deformable transformer (with Pallas ms-deform kernels).
 Protocol per the axon-tunnel rules: jitted scalar readback, p50 of N.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from profile_sam import summarize  # noqa: E402
 
 from inklayer_tpu.build import build_pipeline  # noqa: E402
