@@ -179,10 +179,27 @@ def measure_full_pipeline(iters: int = 3):
             pipe.run(src, out, no_intermediate=True, inpaint=False)
             pipe.drain()
             times.append(time.perf_counter() - t0)
+
+        # directory-sweep mode: run_dir overlaps host IO / readbacks of
+        # image i with device compute of image i+1 — the BASELINE
+        # "sketches/sec per chip" production configuration.  Same image
+        # under distinct names keeps every stage in one compile bucket.
+        n_sweep = 4
+        sweep_in = os.path.join(out, "_sweep_in")
+        os.makedirs(sweep_in, exist_ok=True)
+        paths = []
+        for i in range(n_sweep):
+            p = os.path.join(sweep_in, f"sketch_{i}.png")
+            shutil.copyfile(src, p)
+            paths.append(p)
+        pipe.run_dir(paths, out, no_intermediate=True, inpaint=False)  # warm
+        t0 = time.perf_counter()
+        pipe.run_dir(paths, out, no_intermediate=True, inpaint=False)
+        sweep_sps = n_sweep / (time.perf_counter() - t0)
     finally:
         shutil.rmtree(out, ignore_errors=True)
     p50 = float(np.percentile(times, 50))
-    return p50 * 1e3, 1.0 / p50
+    return p50 * 1e3, 1.0 / p50, sweep_sps
 
 
 def main():
@@ -228,9 +245,10 @@ def main():
     }
     if not args.skip_full:
         try:
-            e2e_ms, sps = measure_full_pipeline()
+            e2e_ms, sps, sweep_sps = measure_full_pipeline()
             out["e2e_full_pipeline_p50_ms"] = round(e2e_ms, 1)
             out["e2e_sketches_per_sec_per_chip"] = round(sps, 3)
+            out["e2e_sweep_sketches_per_sec_per_chip"] = round(sweep_sps, 3)
         except Exception as e:  # never lose the primary metric
             out["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))

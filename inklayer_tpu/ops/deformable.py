@@ -224,49 +224,6 @@ def _pallas_fused_levels_kernel_v3(spatial_shapes, d: int, n_levels: int,
     return kern
 
 
-def _pallas_fused_levels_kernel_v4(spatial_shapes, d: int, n_levels: int,
-                                   n_points: int, bq: int):
-    """v3 with the Sy@V product kept in bf16 end-to-end: each sy row has
-    exactly 2 nonzero taps, so bf16 MXU accumulation loses nothing, and the
-    (n_points*bq, d*ww) fp32->bf16 conversion pass (the largest VPU pass in
-    v3) disappears."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    def kern(y_ref, x_ref, w_ref, *refs):
-        v_refs = refs[:n_levels]
-        o_ref = refs[n_levels]
-        acc = jnp.zeros((bq, d), jnp.float32)
-        for lvl, (hh, ww) in enumerate(spatial_shapes):
-            rows = jax.lax.broadcasted_iota(
-                jnp.int32, (bq, hh), 1).astype(jnp.float32)
-            cols = jax.lax.broadcasted_iota(
-                jnp.int32, (bq, ww), 1).astype(jnp.float32)
-            col_g = jax.lax.broadcasted_iota(jnp.int32, (d * ww, d), 1)
-            row_g = jax.lax.broadcasted_iota(jnp.int32, (d * ww, d), 0)
-            reduce = (row_g // ww == col_g).astype(jnp.bfloat16)
-            v = v_refs[lvl][0]  # (hh, d*ww) bf16, w-minor
-            k0 = lvl * n_points
-            sys_, sxs = [], []
-            for p in range(n_points):
-                yv = y_ref[0, :, k0 + p][:, None]
-                xv = x_ref[0, :, k0 + p][:, None]
-                wlp = w_ref[0, :, k0 + p][:, None]
-                sys_.append(jnp.maximum(0.0, 1.0 - jnp.abs(yv - rows))
-                            .astype(jnp.bfloat16))
-                sxs.append(jnp.maximum(0.0, 1.0 - jnp.abs(xv - cols)) * wlp)
-            sy = jnp.concatenate(sys_, axis=0)  # (n_points*bq, hh)
-            sx = jnp.concatenate(sxs, axis=0)   # (n_points*bq, ww)
-            t = jnp.dot(sy, v, preferred_element_type=jnp.bfloat16)
-            sx_exp = pltpu.repeat(sx.astype(jnp.bfloat16), d, axis=1)
-            r = jnp.dot(t * sx_exp, reduce,
-                        preferred_element_type=jnp.float32)  # (pbq, d)
-            for p in range(n_points):
-                acc = acc + r[p * bq:(p + 1) * bq]
-        o_ref[0] = acc
-
-    return kern
-
-
 def _ms_deform_attn_pallas_fused(value, spatial_shapes, sampling_locations,
                                  attention_weights, block_q: int = 256,
                                  interpret: bool = False,
@@ -307,15 +264,14 @@ def _ms_deform_attn_pallas_fused(value, spatial_shapes, sampling_locations,
         vs.append(v.reshape(b, hh, ww, h, d).transpose(0, 3, 1, 4, 2)
                   .reshape(bh, hh, d * ww))
 
-    kern = {3: _pallas_fused_levels_kernel_v3,
-            4: _pallas_fused_levels_kernel_v4}.get(
-        kernel_version, _pallas_fused_levels_kernel)(
-        spatial_shapes, d, n_levels, n_points, bq)
+    kern = (_pallas_fused_levels_kernel_v3 if kernel_version == 3
+            else _pallas_fused_levels_kernel)(spatial_shapes, d, n_levels,
+                                              n_points, bq)
     lp = n_levels * n_points
-    # v3/v4 hold (n_points*bq, d*ww) intermediates for the largest level in
+    # v3 holds (n_points*bq, d*ww) intermediates for the largest level in
     # VMEM (~13MB at bq=256 for GDINO shapes) — raise the scoped limit
     params = {}
-    if kernel_version >= 3 and not interpret:
+    if kernel_version == 3 and not interpret:
         try:
             from jax.experimental.pallas import tpu as pltpu_mod
             params["compiler_params"] = pltpu_mod.CompilerParams(

@@ -132,6 +132,30 @@ def sort_order(depth_scores: np.ndarray, containment: np.ndarray,
     return order
 
 
+def depth_stats_dispatch(
+    masks_dev,  # (N, H, W) bool device array
+    sketch_gray: np.ndarray,  # (H, W) uint8
+    depth,  # (H, W) float (device or host)
+    cfg: RefineConfig = RefineConfig(),
+):
+    """Device half of sort_sketch_masks: per-mask depth score + pairwise
+    major-overlap matrix, both independent per mask — dispatched with NO
+    readback so the caller can batch them into one jax.device_get (the
+    runner folds these into the NMS keep readback)."""
+    h, w = sketch_gray.shape
+    # sketch_to_01binary: threshold at max/2 (refinement/utils.py:3-9)
+    ink = sketch_gray <= sketch_gray.max() / 2
+    cell = max(1, int(round(h * cfg.sample_radius_frac)))
+    ink_dev = jnp.asarray(ink)
+    masks_dev = jnp.asarray(masks_dev)
+    pts, valid = sample_stroke_points(ink_dev, cell)
+    scores_dev = mask_depth_scores(
+        masks_dev, pts, valid, jnp.asarray(depth, jnp.float32), cfg.depth_bin)
+    overlap_dev = major_overlap_matrix(
+        masks_dev & ink_dev[None], thr=cfg.overlap_major_frac)
+    return scores_dev, overlap_dev
+
+
 def sort_sketch_masks(
     masks: np.ndarray,  # (N, H, W) bool
     boxes: np.ndarray,  # (N, 4) px xyxy
@@ -144,17 +168,9 @@ def sort_sketch_masks(
     if n == 0:
         return [], np.zeros((0,)), np.zeros((0, 0), bool)
     h, w = sketch_gray.shape
-    # sketch_to_01binary: threshold at max/2 (refinement/utils.py:3-9)
-    ink = sketch_gray <= sketch_gray.max() / 2
-    cell = max(1, int(round(h * cfg.sample_radius_frac)))
-    ink_dev = jnp.asarray(ink)
-    masks_dev = jnp.asarray(masks)
-    pts, valid = sample_stroke_points(ink_dev, cell)
-    scores_dev = mask_depth_scores(
-        masks_dev, pts, valid, jnp.asarray(depth, jnp.float32), cfg.depth_bin)
+    scores_dev, overlap_dev = depth_stats_dispatch(
+        jnp.asarray(masks), sketch_gray, depth, cfg)
     cont = containment_graph(boxes, (h, w), cfg)
-    overlap_dev = major_overlap_matrix(
-        masks_dev & ink_dev[None], thr=cfg.overlap_major_frac)
     # ONE batched readback (each np.asarray costs a full tunnel RTT)
     scores, overlap = jax.device_get((scores_dev, overlap_dev))
     order = sort_order(scores, cont, overlap)

@@ -80,6 +80,89 @@ def _strict_contains(boxes: np.ndarray) -> np.ndarray:
             & ~np.eye(len(boxes), dtype=bool))
 
 
+@jax.jit
+def _greedy_nms_device(sketch_iou: jax.Array, gate: jax.Array,
+                       bbox_ov: jax.Array, order: jax.Array,
+                       thr_s: float, thr_b: float) -> jax.Array:
+    """Greedy score-ordered suppression on device.
+
+    Equivalent to the reference's double loop (nms_sketch :186-251) because
+    iteration follows non-increasing score order: the 'suppress the higher
+    scored a' branch requires fs[b] > fs[a] with b AFTER a in that order,
+    which cannot happen — so each surviving a simply kills every later
+    overlapping b, a per-row vector op.  Returns keep flags in `order`
+    space."""
+    k = order.shape[0]
+    s_ov = jnp.where(gate, sketch_iou, 0.0)[order][:, order]
+    b_ov = bbox_ov[order][:, order]
+    sup = (s_ov > thr_s) | (b_ov > thr_b)
+    idx = jnp.arange(k)
+
+    def body(keep, pi):
+        kill = sup[pi] & (idx > pi) & keep[pi]
+        return keep & ~kill, None
+
+    keep, _ = jax.lax.scan(body, jnp.ones((k,), bool), idx)
+    return keep
+
+
+def sketch_nms_dispatch(
+    boxes: np.ndarray,  # (N, 4) xyxy pixels
+    scores: np.ndarray,  # (N,)
+    masks,  # (N, H, W) bool device array (cleaned masks)
+    sketch_gray: np.ndarray,  # (H, W) uint8
+    cfg: RefineConfig = RefineConfig(),
+):
+    """Async half of sketch_nms: host pre-filter + pairwise gates (boxes
+    only), then the expensive ink-IoU matrix AND the greedy loop on device.
+    Returns (kept0 prefilter indices, order, keep_dev) with NO device
+    readback — the caller batches keep_dev into its next jax.device_get.
+    Final kept indices = kept0[order[keep]]."""
+    n = len(boxes)
+    h, w = sketch_gray.shape
+    img_area = h * w
+    boxes = boxes.astype(np.float64)
+
+    # ---- pre-filter (filter_full_or_empty_bbox) --------------------------
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    valid_area = areas / img_area < cfg.nms_max_area_frac
+    integral = np.pad((sketch_gray > 0).astype(np.int64), ((1, 0), (1, 0))
+                      ).cumsum(0).cumsum(1)
+    xs1 = np.clip(boxes[:, 0], 0, w - 1).astype(int)
+    ys1 = np.clip(boxes[:, 1], 0, h - 1).astype(int)
+    xs2 = np.clip(boxes[:, 2], 0, w - 1).astype(int) + 1
+    ys2 = np.clip(boxes[:, 3], 0, h - 1).astype(int) + 1
+    nz = (integral[ys2, xs2] - integral[ys1, xs2]
+          - integral[ys2, xs1] + integral[ys1, xs1])
+    has_content = nz > 0
+    contains = _strict_contains(boxes)
+    few_contained = contains.sum(axis=1) <= cfg.nms_max_contained
+    kept0 = np.nonzero(valid_area & has_content & few_contained)[0]
+    if len(kept0) == 0:
+        return kept0, np.zeros((0,), int), jnp.zeros((0,), bool)
+
+    fb = boxes[kept0]
+    fs = scores[kept0]
+    fm = masks[np.asarray(kept0)]
+    order = np.argsort(-fs)
+
+    # pairwise gates from boxes alone (host), uploaded async
+    iou_bbox = bbox_iou_matrix(fb)
+    eps = cfg.nms_eps_px_per_kdiag * (np.hypot(h, w) / 1000.0)
+    areas_f = (fb[:, 2] - fb[:, 0]) * (fb[:, 3] - fb[:, 1])
+    larger_is_i = areas_f[:, None] > areas_f[None, :]
+    cont = _is_contained(fb, fb, eps)
+    gate = np.where(larger_is_i, cont, cont.T) & _share_corner(fb, eps)
+
+    ink = jnp.asarray(sketch_gray < cfg.ink_threshold)
+    iou_sketch = ink_mask_iou_matrix(jnp.asarray(fm), ink)
+    keep_dev = _greedy_nms_device(
+        iou_sketch, jnp.asarray(gate),
+        jnp.asarray(np.where(gate, iou_bbox, 0.0)), jnp.asarray(order),
+        cfg.nms_iou, cfg.nms_bbox_iou_kill)
+    return kept0, order, keep_dev
+
+
 def sketch_nms(
     boxes: np.ndarray,  # (N, 4) xyxy pixels
     scores: np.ndarray,  # (N,)
@@ -89,6 +172,25 @@ def sketch_nms(
 ) -> np.ndarray:
     """Returns kept indices into the input arrays, score-ordered like the
     reference's return (original_indices[keep])."""
+    n = len(boxes)
+    if n == 0:
+        return np.zeros((0,), np.int64)
+    kept0, order, keep_dev = sketch_nms_dispatch(
+        boxes, scores, jnp.asarray(masks), sketch_gray, cfg)
+    if len(kept0) == 0:
+        return np.zeros((0,), np.int64)
+    return kept0[order[np.asarray(keep_dev)]]
+
+
+def _sketch_nms_host_reference(
+    boxes: np.ndarray,  # (N, 4) xyxy pixels
+    scores: np.ndarray,  # (N,)
+    masks: np.ndarray,  # (N, H, W) bool (cleaned masks)
+    sketch_gray: np.ndarray,  # (H, W) uint8
+    cfg: RefineConfig = RefineConfig(),
+) -> np.ndarray:
+    """Host implementation with the reference's literal greedy double loop
+    (kept as a test oracle for _greedy_nms_device)."""
     n = len(boxes)
     if n == 0:
         return np.zeros((0,), np.int64)

@@ -81,14 +81,19 @@ def parse_masks_to_disjoint(
     sketch_gray: np.ndarray,
     depth: np.ndarray,
     cfg: RefineConfig = RefineConfig(),
+    sort_result: Optional[List[int]] = None,
 ) -> Tuple[jax.Array, List[np.ndarray], List[dict]]:
     """Returns (disjoint_masks (M, H, W) bool DEVICE array, sorted_boxes,
-    mask_info)."""
+    mask_info).  `sort_result` supplies a precomputed depth-sort order (the
+    runner folds the depth stats into the NMS readback)."""
     masks = jnp.asarray(masks)
     h, w = sketch_gray.shape
     if masks.shape[0] == 0:
         return jnp.zeros((0, h, w), bool), [], []
-    order, _, _ = sort_sketch_masks(masks, boxes, sketch_gray, depth, cfg)
+    if sort_result is not None:
+        order = list(sort_result)
+    else:
+        order, _, _ = sort_sketch_masks(masks, boxes, sketch_gray, depth, cfg)
     order_idx = jnp.asarray(np.asarray(order, np.int32))
     sorted_masks = masks[order_idx]
     sorted_boxes = [np.asarray(boxes)[i] for i in order]

@@ -243,6 +243,7 @@ class InkLayerPipeline:
         self._submit(write_bbox_outputs)
 
         # ---- segmentation (masks stay on device) -------------------------
+        import jax
         import jax.numpy as jnp
 
         from inklayer_tpu.ops.bits import masks_to_host
@@ -296,8 +297,27 @@ class InkLayerPipeline:
             xyxy_norm = boxes_abs / np.asarray([w, h, w, h]) \
                 if boxes_abs.size else boxes_abs
 
+        # NMS keep flags + the depth-sort per-mask stats share ONE device
+        # readback: both the greedy NMS loop and the depth/overlap stats run
+        # on device, and the stats are computed for the whole prefiltered
+        # stack (per-mask independent), so the host can slice out the
+        # NMS-surviving rows afterwards.
+        from inklayer_tpu.pipeline.refine.depth_sort import (
+            containment_graph, depth_stats_dispatch, sort_order)
+        from inklayer_tpu.pipeline.refine.nms import sketch_nms_dispatch
+
         t0 = time.perf_counter()
-        kept = sketch_nms(boxes_abs, scores, cleaned_dev, gray, cfg.refine)
+        kept0, order0, keep_dev = sketch_nms_dispatch(
+            boxes_abs, scores, cleaned_dev, gray, cfg.refine)
+        if len(kept0):
+            fm = cleaned_dev[np.asarray(kept0)]
+            dscores_dev, doverlap_dev = depth_stats_dispatch(
+                fm, gray, depth, cfg.refine)
+            keep, dscores, doverlap = jax.device_get(
+                (keep_dev, dscores_dev, doverlap_dev))
+            kept = kept0[order0[keep]]
+        else:
+            kept = np.zeros((0,), np.int64)
         self.stage_times.add("nms", time.perf_counter() - t0)
         final_norm = [xyxy_norm[i].tolist() for i in kept]
         final_data = {
@@ -318,17 +338,25 @@ class InkLayerPipeline:
         # depth-sort consumes it there and the depth_map.png contract needs
         # only a quantized uint8 readback)
         t0 = time.perf_counter()
+        sort_result = None
         if len(kept):
             kept_masks = cleaned_dev[np.asarray(kept)]
             kept_boxes = np.asarray(
                 [[int(xyxy_norm[i][0] * w), int(xyxy_norm[i][1] * h),
                   int(xyxy_norm[i][2] * w), int(xyxy_norm[i][3] * h)]
                  for i in kept], float)
+            # depth-sort order from the stats that rode the NMS readback
+            pos = {int(o): i for i, o in enumerate(kept0)}
+            rows = np.asarray([pos[int(i)] for i in kept])
+            cont = containment_graph(kept_boxes, (h, w), cfg.refine)
+            sort_result = sort_order(dscores[rows], cont,
+                                     doverlap[np.ix_(rows, rows)])
         else:
             kept_masks = jnp.zeros((0, h, w), bool)
             kept_boxes = np.zeros((0, 4))
         disjoint_dev, sorted_boxes, _info = parse_masks_to_disjoint(
-            kept_masks, kept_boxes, gray, depth, cfg.refine)
+            kept_masks, kept_boxes, gray, depth, cfg.refine,
+            sort_result=sort_result)
         final_dev, extra_valid = improve_masks_deferred(
             disjoint_dev,
             np.asarray(sorted_boxes) if len(sorted_boxes) else np.zeros((0, 4)),

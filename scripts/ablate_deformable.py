@@ -72,9 +72,6 @@ VARIANTS = {
     "v3": ("v3 point-concat bq=256", 3, 256),
     "v3b128": ("v3 point-concat bq=128", 3, 128),
     "v3b512": ("v3 point-concat bq=512", 3, 512),
-    "v4": ("v4 bf16-t bq=256", 4, 256),
-    "v4b512": ("v4 bf16-t bq=512", 4, 512),
-    "v4b1024": ("v4 bf16-t bq=1024", 4, 1024),
     "v3b1024": ("v3 point-concat bq=1024", 3, 1024),
 }
 

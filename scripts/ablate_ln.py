@@ -3,6 +3,9 @@
 — 36x off the HBM roofline).  Isolate whether the LN op itself is slow or
 its in-graph layout is."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import time
 

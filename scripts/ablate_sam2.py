@@ -3,6 +3,9 @@ per-block dense MFU, and flash-kernel variants for the 4096-token global
 blocks.  Protocol: jitted scalar readback, p50 of N iters (axon tunnel adds
 ~35ms/dispatch — measure it with an empty jit and subtract mentally)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import functools
 import time
 

@@ -3,6 +3,9 @@ blocks ~4.3ms marginal, but baseline-mixed implies ~16ms/global), measure
 window-padding cost (14 -> pads 64 to 70; 16 divides evenly), and get an
 honest dense-MFU probe (relu between matmuls so XLA cannot reassociate)."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -3,6 +3,9 @@ Pallas kernel (layout forced at its boundary) or the attention math?
 Compare flash vs aug-matmul sdpa for the global blocks inside the same
 mixed model, plus a no-window-pad control."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -6,6 +6,9 @@ path.  Timing protocol per the axon-tunnel rules: args passed through jit,
 completion forced with a jitted scalar readback, p50 over N iters.
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -6,6 +6,9 @@ events on the device track by (name prefix) to find where the wall time
 goes.  Usage:  python scripts/profile_sam.py [--depth 32] [--out DIR]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import collections
 import glob

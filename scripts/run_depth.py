@@ -11,6 +11,9 @@ Usage:
   python scripts/run_depth.py --video-path clip.mp4 [--outdir ./vis_video]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import glob
 import os

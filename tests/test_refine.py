@@ -73,6 +73,32 @@ def test_sketch_nms_suppresses_duplicates():
     assert 0 in kept and 2 in kept and 1 not in kept
 
 
+def test_sketch_nms_device_matches_host_reference(rng):
+    """The device greedy scan (sketch_nms) vs the literal host double-loop
+    oracle on randomized crowded scenes."""
+    from inklayer_tpu.pipeline.refine.nms import _sketch_nms_host_reference
+
+    h = w = 160
+    g = np.full((h, w), 255, np.uint8)
+    n = 14
+    boxes, masks = [], []
+    for _ in range(n):
+        x1, y1 = rng.integers(0, w - 40, 2)
+        bw, bh = rng.integers(15, 60, 2)
+        x2, y2 = min(w - 1, x1 + bw), min(h - 1, y1 + bh)
+        boxes.append([x1, y1, x2, y2])
+        m = _filled_mask(h, w, (x1, y1, x2, y2))
+        masks.append(m)
+        g[y1:y2, x1:x2] = 40  # ink strokes inside every box
+    boxes = np.asarray(boxes, float)
+    scores = rng.random(n)
+    masks = np.stack(masks)
+    want = _sketch_nms_host_reference(boxes, scores, masks, g, CFG)
+    got = sketch_nms(boxes, scores, masks, g, CFG)
+    np.testing.assert_array_equal(np.sort(got), np.sort(want))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_sketch_nms_keeps_distinct():
     g = _sketch_with_rects()
     boxes = np.asarray([[10, 10, 50, 50], [60, 60, 110, 110]], float)
