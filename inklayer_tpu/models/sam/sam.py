@@ -123,14 +123,7 @@ class SamPredictor:
         shape: resize to the ROUNDED target shape; coords then scale PER
         AXIS by (nh/h, nw/w) (utils/transforms.py:94-102).  A single
         continuous scale drifts the pixel grid by up to half a pixel."""
-        pre, meta = self._preprocess_meta(image)
-        if self.encode_fn is not None:
-            self._embedding = jnp.asarray(self.encode_fn(pre))[None]
-        else:
-            self._embedding = self._encode(self.params, pre[None])
-        self._scale = meta["scale"]
-        self._orig_hw = meta["orig_hw"]
-        self._input_hw = meta["input_hw"]
+        self.set_image_state(self.compute_image_state(image))
 
     # -- batched prefill (directory sweeps / serving) ----------------------
     def _preprocess_meta(self, image: np.ndarray):
@@ -163,6 +156,41 @@ class SamPredictor:
         self._scale = state["scale"]
         self._orig_hw = state["orig_hw"]
         self._input_hw = state["input_hw"]
+
+    def compute_image_state(self, image) -> dict:
+        """Pure (no predictor mutation) encode: image -> opaque state dict
+        for predict_device_state.  Thread-safe — concurrent pipeline workers
+        each carry their own state instead of racing on set_image."""
+        pre, meta = self._preprocess_meta(image)
+        if self.encode_fn is not None:
+            emb = jnp.asarray(self.encode_fn(pre))[None]
+        else:
+            emb = self._encode(self.params, pre[None])
+        return {"embedding": emb, **meta}
+
+    def predict_device_state(self, state: dict, boxes_xyxy) -> tuple:
+        """Stateless predict_device against an explicit image state."""
+        n = boxes_xyxy.shape[0]
+        cap = self.box_capacity
+        while cap < n:
+            cap *= 2
+        padded = np.zeros((cap, 4), np.float32)
+        padded[:n] = (np.asarray(boxes_xyxy, np.float32)
+                      * np.tile(state["scale"], 2))
+        logits, iou = self._decode(self.params, state["embedding"],
+                                   jnp.asarray(padded))
+        full = self._postprocess_device_state(state, logits[:n, 0])
+        return full > self.cfg.mask_threshold, np.asarray(iou[:n, 0])
+
+    def _postprocess_device_state(self, state: dict, low_res_logits):
+        c = self.cfg
+        n = low_res_logits.shape[0]
+        up = jax.image.resize(
+            low_res_logits, (n, c.image_size, c.image_size), method="bilinear")
+        ih, iw = state["input_hw"]
+        up = up[:, :ih, :iw]
+        oh, ow = state["orig_hw"]
+        return jax.image.resize(up, (n, oh, ow), method="bilinear")
 
     # -- prompts ----------------------------------------------------------
     def predict_boxes(
@@ -213,16 +241,9 @@ class SamPredictor:
         array thresholded at mask_threshold, iou (N,) host).  Avoids the
         full-resolution float readback of predict()."""
         assert self._embedding is not None, "call set_image first"
-        n = boxes_xyxy.shape[0]
-        cap = self.box_capacity
-        while cap < n:
-            cap *= 2
-        padded = np.zeros((cap, 4), np.float32)
-        padded[:n] = np.asarray(boxes_xyxy, np.float32) * np.tile(self._scale, 2)
-        logits, iou = self._decode(self.params, self._embedding,
-                                   jnp.asarray(padded))
-        full = self._postprocess_device(logits[:n, 0])
-        return full > self.cfg.mask_threshold, np.asarray(iou[:n, 0])
+        state = {"embedding": self._embedding, "scale": self._scale,
+                 "orig_hw": self._orig_hw, "input_hw": self._input_hw}
+        return self.predict_device_state(state, boxes_xyxy)
 
     def predict(self, boxes: Optional[np.ndarray] = None,
                 multimask_output: bool = False):

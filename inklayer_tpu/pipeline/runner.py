@@ -66,7 +66,14 @@ class StageTimes:
     times: Dict[str, float] = field(default_factory=dict)
 
     def add(self, name: str, dt: float):
-        self.times[name] = self.times.get(name, 0.0) + dt
+        # worker threads in run_dir update concurrently
+        with _STAGE_LOCK:
+            self.times[name] = self.times.get(name, 0.0) + dt
+
+
+import threading
+
+_STAGE_LOCK = threading.Lock()
 
 
 class InkLayerPipeline:
@@ -118,12 +125,20 @@ class InkLayerPipeline:
         self._pending.clear()
 
     def run_dir(self, paths, out_base_dir: str, no_intermediate: bool = False,
-                inpaint: bool = False, batch_size: int = 1):
+                inpaint: bool = False, batch_size: int = 1,
+                workers: int = 2):
         """Directory sweep with host-IO/device overlap: image i's PNG
         output-contract work runs on writer threads while image i+1 is on
         device (the reference processes strictly sequentially).
 
-        batch_size > 1 additionally BATCHES the two big model dispatches
+        workers > 1 runs that many images CONCURRENTLY on worker threads:
+        the device serializes their compute anyway, but image B's device
+        stages execute inside image A's host stalls (~4 tunnel round-trips
+        + PNG/json work per image), pushing throughput toward the
+        device-bound rate.  All per-image state is thread-local
+        (predict_device_state, local dispatch closures).
+
+        batch_size > 1 instead BATCHES the two big model dispatches
         across images: GDINO detect groups same-bucket images into one
         forward, and SAM ViT-H encodes batch_size images per launch —
         amortizing per-dispatch overhead and filling the MXU at batch
@@ -133,6 +148,18 @@ class InkLayerPipeline:
         try:
             if batch_size > 1:
                 self._prefill_batches(paths, batch_size)
+            if inpaint:
+                workers = 1  # the inpaint path drains mid-run (reads masks
+                # from disk); concurrent drains could clear another worker's
+                # pending writes before they are awaited
+            if workers > 1 and batch_size == 1 and len(paths) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    outs = list(ex.map(
+                        lambda p: self.run(p, out_base_dir, no_intermediate,
+                                           inpaint), paths))
+                return outs
             outs = []
             for i, p in enumerate(paths):
                 # cross-stage device pipelining: enqueue GDINO for image i+1
@@ -207,10 +234,11 @@ class InkLayerPipeline:
 
         t0 = time.perf_counter()
         sam_state = self._sam_state_cache.get(input_path)
-        if sam_state is not None:
-            self.sam.set_image_state(sam_state)
-        else:
-            self.sam.set_image(image_dev)  # async ViT-H encode dispatch
+        if sam_state is None:
+            # async ViT-H encode dispatch; the state stays LOCAL to this
+            # call (no predictor mutation) so concurrent run_dir workers
+            # don't race on the shared SamPredictor
+            sam_state = self.sam.compute_image_state(image_dev)
         self.stage_times.add("segment", time.perf_counter() - t0)
 
         t0 = time.perf_counter()
@@ -250,7 +278,8 @@ class InkLayerPipeline:
 
         t0 = time.perf_counter()
         if len(boxes_abs):
-            masks_dev, _iou = self.sam.predict_device(boxes_abs)
+            masks_dev, _iou = self.sam.predict_device_state(sam_state,
+                                                            boxes_abs)
         else:
             masks_dev = jnp.zeros((0, h, w), bool)
         self.stage_times.add("segment", time.perf_counter() - t0)
