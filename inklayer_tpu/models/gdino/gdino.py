@@ -196,6 +196,17 @@ class GDinoDetector:
         zero-arg finalizer that blocks on the readback + thresholding.  Used
         for cross-stage pipelining in directory sweeps (dispatch GDINO for
         image i+1 while image i is in SAM / host IO)."""
+        return self.detect_dispatch_device(image, caption, box_threshold)[0]
+
+    def detect_dispatch_device(self, image: np.ndarray,
+                               caption: Optional[str] = None,
+                               box_threshold: Optional[float] = None):
+        """detect_dispatch, additionally exposing the DEVICE-resident top-K
+        results: returns (finalize, scores_dev (K,), boxes_dev (K, 4)
+        normalized cxcywh, score-descending).  Because top-K is score-sorted
+        and thresholding keeps scores > t, the surviving detections are a
+        PREFIX of the device arrays — downstream consumers (SAM box decode)
+        can chain on device and slice [:n] after the host readback."""
         c = self.cfg
         cap = self._caption(caption)
         thresh = c.box_threshold if box_threshold is None else box_threshold
@@ -212,7 +223,7 @@ class GDinoDetector:
             return self._threshold(s, np.asarray(b, np.float64), tl, i,
                                    cap, thresh)
 
-        return finalize
+        return finalize, scores[0], boxes[0]
 
     def detect_batch(self, images, caption: Optional[str] = None,
                      box_threshold: Optional[float] = None):

@@ -182,6 +182,22 @@ class SamPredictor:
         full = self._postprocess_device_state(state, logits[:n, 0])
         return full > self.cfg.mask_threshold, np.asarray(iou[:n, 0])
 
+    def decode_lowres_state(self, state: dict, boxes_model) -> tuple:
+        """Chained device decode: (cap, 4) DEVICE boxes already in model
+        space -> ((cap, 256, 256) low-res logits, (cap,) iou), no host
+        sync.  Lets the pipeline run the TwoWayTransformer during the
+        detect-readback round-trip; full-resolution postprocessing happens
+        later via masks_from_lowres once the valid count is known."""
+        logits, iou = self._decode(self.params, state["embedding"],
+                                   boxes_model)
+        return logits[:, 0], iou[:, 0]
+
+    def masks_from_lowres(self, state: dict, lowres, n: int):
+        """(cap, 256, 256) low-res logits -> (n, H, W) bool device masks
+        for the first n prompts."""
+        full = self._postprocess_device_state(state, lowres[:n])
+        return full > self.cfg.mask_threshold
+
     def _postprocess_device_state(self, state: dict, low_res_logits):
         c = self.cfg
         n = low_res_logits.shape[0]

@@ -75,6 +75,37 @@ import threading
 
 _STAGE_LOCK = threading.Lock()
 
+_BOXES_SAM_JIT = None
+
+
+def _boxes_cxcywh_to_sam_space(boxes_dev, hw, scale_xy):
+    """Device (K, 4) normalized cxcywh -> (K, 4) xyxy in SAM model space,
+    replicating the host path bit-for-bit modulo f32: xyxy_norm * [w,h,w,h]
+    -> astype(int) truncation (utils/processing.py parity) -> per-axis SAM
+    scale.  Module-cached jit (a per-call closure would retrace)."""
+    global _BOXES_SAM_JIT
+    import jax
+    import jax.numpy as jnp
+
+    if _BOXES_SAM_JIT is None:
+        @jax.jit
+        def f(b, wh, sc):
+            b = b.astype(jnp.float32)
+            half = b[:, 2:4] / 2
+            x1y1 = (b[:, 0:2] - half) * wh
+            x2y2 = (b[:, 0:2] + half) * wh
+            xyxy = jnp.concatenate([x1y1, x2y2], axis=1)
+            xyxy = jnp.trunc(xyxy)  # host parity: astype(int) truncates
+            return xyxy * jnp.concatenate([sc, sc])
+
+        _BOXES_SAM_JIT = f
+    h, w = hw
+    import numpy as _np
+
+    return _BOXES_SAM_JIT(boxes_dev,
+                          jnp.asarray([float(w), float(h)], jnp.float32),
+                          jnp.asarray(_np.asarray(scale_xy, _np.float32)))
+
 
 class InkLayerPipeline:
     """End-to-end pipeline. Models are injected (built once by the caller —
@@ -221,6 +252,13 @@ class InkLayerPipeline:
 
         image_dev = _jnp.asarray(image)
 
+        # mmdetection alt path (refinement/bbox_filter.py:40-45): when
+        # mmdet_out/*.json is present its boxes replace GDINO's before NMS,
+        # so the detect->decode device chaining below must be skipped
+        import glob as _glob
+
+        mmdet_json = _glob.glob(os.path.join(out_dir, "mmdet_out", "*.json"))
+
         # ---- device dispatch ahead of the first readback -----------------
         # detect, SAM encode and depth are all image-only: enqueue all three
         # NOW (jax dispatch is async) so the device streams through them
@@ -228,8 +266,10 @@ class InkLayerPipeline:
         # json/draw/PNG work — instead of idling between serialized stages
         t0 = time.perf_counter()
         det_fin = self._det_cache.get(input_path)
+        boxes_dev = None
         if det_fin is None:
-            det_fin = self.detector.detect_dispatch(image_dev)
+            det_fin, _scores_dev, boxes_dev = \
+                self.detector.detect_dispatch_device(image_dev)
         self.stage_times.add("detect", time.perf_counter() - t0)
 
         t0 = time.perf_counter()
@@ -239,6 +279,17 @@ class InkLayerPipeline:
             # call (no predictor mutation) so concurrent run_dir workers
             # don't race on the shared SamPredictor
             sam_state = self.sam.compute_image_state(image_dev)
+        # detect -> SAM decode chained ON DEVICE: the top-K boxes feed the
+        # low-res mask decode without waiting for the detect readback (the
+        # surviving detections are a score-sorted PREFIX of the top-K, so
+        # the host slices [:n] afterwards).  The TwoWayTransformer thus
+        # executes inside the ~35ms detect-readback round-trip.
+        lowres_dev = None
+        if boxes_dev is not None and not mmdet_json:
+            boxes_model = _boxes_cxcywh_to_sam_space(
+                boxes_dev, (h, w), sam_state["scale"])
+            lowres_dev, _ = self.sam.decode_lowres_state(sam_state,
+                                                         boxes_model)
         self.stage_times.add("segment", time.perf_counter() - t0)
 
         t0 = time.perf_counter()
@@ -277,7 +328,12 @@ class InkLayerPipeline:
         from inklayer_tpu.ops.bits import masks_to_host
 
         t0 = time.perf_counter()
-        if len(boxes_abs):
+        if len(boxes_abs) and lowres_dev is not None:
+            # chained path: low-res logits already computed for the top-K
+            # prefix during the detect readback
+            masks_dev = self.sam.masks_from_lowres(sam_state, lowres_dev,
+                                                   len(boxes_abs))
+        elif len(boxes_abs):
             masks_dev, _iou = self.sam.predict_device_state(sam_state,
                                                             boxes_abs)
         else:
@@ -309,12 +365,7 @@ class InkLayerPipeline:
                 cleaned_dev)
 
         # ---- sketch NMS (IoU matrix on device) ---------------------------
-        # mmdetection alt path: prefer mmdet_out/*.json boxes when present
-        # (refinement/bbox_filter.py:40-45)
-        import glob as _glob
-
-        mmdet_json = _glob.glob(os.path.join(out_dir, "mmdet_out", "*.json"))
-        if mmdet_json:
+        if mmdet_json:  # mmdetection alt path (globbed above)
             import json as _json
 
             with open(mmdet_json[0]) as f:
