@@ -76,6 +76,32 @@ import threading
 _STAGE_LOCK = threading.Lock()
 
 _BOXES_SAM_JIT = None
+_GRAY_EXPAND_JIT = None
+
+
+def upload_image(image: np.ndarray):
+    """Host (H, W, 3) uint8 -> device (H, W, 3), uploading ONE channel when
+    all three are equal (scene sketches are grayscale-in-RGB) and
+    broadcasting on device — the tunnel moves ~26MB/s, so the 750^2 RGB
+    upload costs ~100ms of which 2/3 vanishes for single-channel content."""
+    global _GRAY_EXPAND_JIT
+    if (image.ndim == 3 and image.shape[2] == 3
+            and (image[..., 0] == image[..., 1]).all()
+            and (image[..., 1] == image[..., 2]).all()):
+        import jax
+        import jax.numpy as jnp
+
+        if _GRAY_EXPAND_JIT is None:
+            @jax.jit
+            def expand(g):
+                return jnp.broadcast_to(g[..., None], g.shape + (3,))
+
+            _GRAY_EXPAND_JIT = expand
+        return _GRAY_EXPAND_JIT(jnp.asarray(np.ascontiguousarray(
+            image[..., 0])))
+    import jax.numpy as jnp
+
+    return jnp.asarray(image)
 
 
 def _boxes_cxcywh_to_sam_space(boxes_dev, hw, scale_xy):
@@ -245,12 +271,11 @@ class InkLayerPipeline:
         self.async_io = True
         self._submit(image_pil.save, os.path.join(out_dir, "input.png"))
 
-        # single host->device upload of the input image; every stage's
-        # jnp.asarray(image) is then a no-op (the tunnel makes repeated
-        # uploads of the same pixels the next-biggest IO cost after masks)
-        import jax.numpy as _jnp
-
-        image_dev = _jnp.asarray(image)
+        # single host->device upload of the input image (one channel when
+        # grayscale-in-RGB); every stage's jnp.asarray(image) is then a
+        # no-op (the tunnel makes repeated uploads of the same pixels the
+        # next-biggest IO cost after masks)
+        image_dev = upload_image(image)
 
         # mmdetection alt path (refinement/bbox_filter.py:40-45): when
         # mmdet_out/*.json is present its boxes replace GDINO's before NMS,
