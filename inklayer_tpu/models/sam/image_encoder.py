@@ -91,9 +91,12 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = True  # route long sequences through the Pallas kernel
+    fused_window: bool = False  # spatial-window path: x is (B, Hp, Wp, C)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.fused_window:
+            return self._fused_window_spatial(x)
         b, h, w, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
@@ -192,6 +195,31 @@ class Attention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
+    def _fused_window_spatial(self, x):
+        """Partition-free windowed attention: x is the zero-padded spatial
+        LN output (B, Hp, Wp, C) with Hp % win == 0.  The qkv dense runs on
+        the padded map (pad tokens become bias vectors — exactly the
+        reference's window_partition-then-linear semantics), and the Pallas
+        kernel addresses each window by BlockSpec indexing; the
+        window_partition/unpartition transpose copies never exist."""
+        from inklayer_tpu.ops.attention import sam_window_block_attention
+
+        win = self.input_size[0]
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+        qkv_raw = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
+                           dtype=self.dtype, name="qkv")(x)
+        rel_pos_h = self.param(
+            "rel_pos_h", nn.initializers.zeros, (2 * win - 1, head_dim))
+        rel_pos_w = self.param(
+            "rel_pos_w", nn.initializers.zeros, (2 * win - 1, head_dim))
+        tab_h = _gather_rel_pos(rel_pos_h, win, win)  # (win, win, hd)
+        tab_w = _gather_rel_pos(rel_pos_w, win, win)
+        out = sam_window_block_attention(
+            qkv_raw, tab_h.astype(self.dtype), tab_w.astype(self.dtype),
+            scale=scale, win=win, heads=self.num_heads, head_dim=head_dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
     def _fused_window(self, qkv_raw, h, w, head_dim, scale):
         """All-heads-per-window fused attention (ops.attention
         sam_window_attention): consumes the qkv dense output as-is."""
@@ -288,17 +316,39 @@ class Block(nn.Module):
             delta = jnp.zeros_like(x)
         shortcut, y = LayerNorm(dtype=self.dtype, name="norm1")(x, delta)
         y = y.reshape(b, h, w, c)
-        if self.window_size > 0:
+        fused_window = (
+            self.window_size > 0 and self.use_flash and self.use_rel_pos
+            and jax.default_backend() == "tpu"
+            and self.dim // self.num_heads <= 128)
+        if fused_window:
+            # partition-free path: zero-pad the LN output spatially and let
+            # the Pallas kernel's BlockSpec address each window (pad tokens
+            # turn into qkv-bias vectors inside the dense, reproducing
+            # window_partition + linear)
+            win = self.window_size
+            hp = (h + win - 1) // win * win
+            wp = (w + win - 1) // win * win
+            if (hp, wp) != (h, w):
+                y = jnp.pad(y, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+            y = Attention(
+                dim=self.dim, num_heads=self.num_heads,
+                input_size=(win, win), use_rel_pos=self.use_rel_pos,
+                use_flash=self.use_flash, dtype=self.dtype,
+                fused_window=True, name="attn")(y)
+            y = y[:, :h, :w]
+        elif self.window_size > 0:
             y, padded_hw = window_partition(y, self.window_size)
-            attn_size = (self.window_size, self.window_size)
-        else:
-            attn_size = self.input_size
-        y = Attention(
-            dim=self.dim, num_heads=self.num_heads, input_size=attn_size,
-            use_rel_pos=self.use_rel_pos, use_flash=self.use_flash,
-            dtype=self.dtype, name="attn")(y)
-        if self.window_size > 0:
+            y = Attention(
+                dim=self.dim, num_heads=self.num_heads,
+                input_size=(self.window_size, self.window_size),
+                use_rel_pos=self.use_rel_pos, use_flash=self.use_flash,
+                dtype=self.dtype, name="attn")(y)
             y = window_unpartition(y, self.window_size, padded_hw, (h, w))
+        else:
+            y = Attention(
+                dim=self.dim, num_heads=self.num_heads,
+                input_size=self.input_size, use_rel_pos=self.use_rel_pos,
+                use_flash=self.use_flash, dtype=self.dtype, name="attn")(y)
         x, y = LayerNorm(dtype=self.dtype, name="norm2")(
             shortcut, y.reshape(b, n, c))
         y = MLP(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(y)

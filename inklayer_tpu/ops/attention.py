@@ -379,6 +379,118 @@ def sam_window_attention(
     )(qkv, rel_h, rel_w)
 
 
+def _window_block_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,
+                         win: int, gw: int, heads: int, head_dim: int):
+    """Partition-free SAM windowed attention: one program per ROW BAND of
+    `gw` windows, read straight out of the padded (Hp, Wp, 3C) qkv map via
+    BlockSpec indexing — no window_partition/unpartition copies exist in the
+    graph.  rh_ref/rw_ref carry the decomposed rel-pos terms (q . table) in
+    the same padded spatial layout, head-blocked along lanes."""
+    n = win * win
+    c = heads * head_dim
+    band = qkv_ref[0]  # (win, gw*win, 3C)
+    rh_band = rh_ref[0]  # (win, gw*win, heads*win)
+    rw_band = rw_ref[0]
+    colx = jax.lax.broadcasted_iota(jnp.int32, (win, n), 1)
+    rowx = jax.lax.broadcasted_iota(jnp.int32, (win, n), 0)
+    expand_h = (colx // win == rowx).astype(jnp.bfloat16)
+    expand_w = (colx % win == rowx).astype(jnp.bfloat16)
+    for j in range(gw):
+        # window tokens (n, 3C): rows of the (win, win, 3C) slab stacked
+        # along sublanes by concatenation (Mosaic-supported; a plain
+        # (win, win, 3C) -> (n, 3C) reshape is not)
+        qkv = jnp.concatenate(
+            [band[r, j * win:(j + 1) * win, :] for r in range(win)], axis=0)
+        rh_all = jnp.concatenate(
+            [rh_band[r, j * win:(j + 1) * win, :] for r in range(win)],
+            axis=0)  # (n, heads*win)
+        rw_all = jnp.concatenate(
+            [rw_band[r, j * win:(j + 1) * win, :] for r in range(win)],
+            axis=0)
+        outs = []
+        for h in range(heads):
+            q = qkv[:, h * head_dim:(h + 1) * head_dim]
+            k = qkv[:, c + h * head_dim:c + (h + 1) * head_dim]
+            v = qkv[:, 2 * c + h * head_dim:2 * c + (h + 1) * head_dim]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            rh = rh_all[:, h * win:(h + 1) * win].astype(jnp.bfloat16)
+            rw = rw_all[:, h * win:(h + 1) * win].astype(jnp.bfloat16)
+            s = s + jax.lax.dot_general(
+                rh, expand_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s + jax.lax.dot_general(
+                rw, expand_w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            outs.append(o.astype(o_ref.dtype))
+        o_win = jnp.concatenate(outs, axis=1)  # (n, C)
+        for r in range(win):
+            o_ref[0, r, j * win:(j + 1) * win, :] = \
+                o_win[r * win:(r + 1) * win, :]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "win", "heads",
+                                             "head_dim", "interpret"))
+def sam_window_block_attention(
+    qkv_sp: jax.Array,  # (B, Hp, Wp, 3*heads*head_dim), Hp/Wp % win == 0
+    tab_h: jax.Array,   # (win, win, head_dim) gathered rel_pos_h table
+    tab_w: jax.Array,   # (win, win, head_dim)
+    *,
+    scale: float,
+    win: int,
+    heads: int,
+    head_dim: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Windowed SAM attention over the padded spatial qkv map, windows
+    addressed by BlockSpec indexing (no partition copies).  Pad tokens carry
+    qkv = dense bias (the caller zero-pads the LN output BEFORE the qkv
+    dense), reproducing the reference's window_partition + linear semantics
+    (segment-anything image_encoder.py:166-182).  Returns (B, Hp, Wp, C)."""
+    b, hp, wp, c3 = qkv_sp.shape
+    assert hp % win == 0 and wp % win == 0
+    c = heads * head_dim
+    assert c3 == 3 * c
+    gw = wp // win
+    # decomposed rel-pos terms from UNSCALED q in the padded spatial layout
+    # (the per-window row/col index is I % win / J % win -> tables tiled)
+    qg = qkv_sp[..., :c].reshape(b, hp, wp, heads, head_dim)
+    th_exp = jnp.tile(tab_h, (hp // win, 1, 1)).astype(qkv_sp.dtype)
+    tw_exp = jnp.tile(tab_w, (wp // win, 1, 1)).astype(qkv_sp.dtype)
+    rel_h = jnp.einsum("bIJhc,Ikc->bIJhk", qg, th_exp).reshape(
+        b, hp, wp, heads * win)
+    rel_w = jnp.einsum("bIJhc,Jkc->bIJhk", qg, tw_exp).reshape(
+        b, hp, wp, heads * win)
+    kernel = functools.partial(_window_block_kernel, scale=scale, win=win,
+                               gw=gw, heads=heads, head_dim=head_dim)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), qkv_sp.dtype),
+        grid=(b, hp // win),
+        in_specs=[
+            pl.BlockSpec((1, win, wp, c3), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win, wp, heads * win),
+                         lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, win, wp, heads * win),
+                         lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, win, wp, c), lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20)}),
+    )(qkv_sp, rel_h, rel_w)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"

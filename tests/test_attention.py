@@ -168,3 +168,41 @@ def test_sam_window_attention_interpret_matches_sdpa(rng, monkeypatch):
     out = attn.apply(params, x)  # fused windowed branch (backend faked)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-3, rtol=1e-2)
+
+
+def test_sam_window_block_attention_matches_partitioned_kernel(rng):
+    """The partition-free spatial window kernel (BlockSpec-addressed windows,
+    interpret mode) vs the parity-tested per-window kernel on the same qkv."""
+    from inklayer_tpu.models.sam.image_encoder import _gather_rel_pos
+    from inklayer_tpu.ops.attention import (sam_window_attention,
+                                            sam_window_block_attention)
+
+    win, heads, hd = 14, 2, 32
+    c = heads * hd
+    b, gh, gw = 1, 2, 2
+    hp, wp = gh * win, gw * win
+    n = win * win
+    qkv_sp = _rand(rng, b, hp, wp, 3 * c)
+    rel_pos_h = _rand(rng, 2 * win - 1, hd) * 0.1
+    rel_pos_w = _rand(rng, 2 * win - 1, hd) * 0.1
+    tab_h = _gather_rel_pos(rel_pos_h, win, win)
+    tab_w = _gather_rel_pos(rel_pos_w, win, win)
+    scale = hd ** -0.5
+
+    qkv_win = qkv_sp.reshape(b, gh, win, gw, win, 3 * c).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b * gh * gw, n, 3 * c)
+    qg = qkv_win[..., :c].reshape(-1, win, win, heads, hd)
+    rel_h = jnp.einsum("bijhc,ikc->bijhk", qg, tab_h).reshape(
+        -1, n, heads * win)
+    rel_w = jnp.einsum("bijhc,jkc->bijhk", qg, tab_w).reshape(
+        -1, n, heads * win)
+    want = sam_window_attention(qkv_win, rel_h, rel_w, scale=scale, kh=win,
+                                kw=win, heads=heads, head_dim=hd,
+                                interpret=True)
+    got_sp = sam_window_block_attention(qkv_sp, tab_h, tab_w, scale=scale,
+                                        win=win, heads=heads, head_dim=hd,
+                                        interpret=True)
+    got = got_sp.reshape(b, gh, win, gw, win, c).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b * gh * gw, n, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-3, rtol=1e-2)
