@@ -183,7 +183,7 @@ class InkLayerPipeline:
 
     def run_dir(self, paths, out_base_dir: str, no_intermediate: bool = False,
                 inpaint: bool = False, batch_size: int = 1,
-                workers: int = 2):
+                workers: int = 4):
         """Directory sweep with host-IO/device overlap: image i's PNG
         output-contract work runs on writer threads while image i+1 is on
         device (the reference processes strictly sequentially).
@@ -209,7 +209,10 @@ class InkLayerPipeline:
                 workers = 1  # the inpaint path drains mid-run (reads masks
                 # from disk); concurrent drains could clear another worker's
                 # pending writes before they are awaited
-            if workers > 1 and batch_size == 1 and len(paths) > 1:
+            if workers > 1 and len(paths) > 1:
+                # (combines with batch_size > 1: the prefill above already
+                # cached detect results + SAM states for every image, so
+                # worker threads only run the host/refine path concurrently)
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(max_workers=workers) as ex:
