@@ -391,10 +391,10 @@ def _window_block_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,
     band = qkv_ref[0]  # (win, gw*win, 3C)
     rh_band = rh_ref[0]  # (win, gw*win, heads*win)
     rw_band = rw_ref[0]
-    colx = jax.lax.broadcasted_iota(jnp.int32, (win, n), 1)
-    rowx = jax.lax.broadcasted_iota(jnp.int32, (win, n), 0)
-    expand_h = (colx // win == rowx).astype(jnp.bfloat16)
-    expand_w = (colx % win == rowx).astype(jnp.bfloat16)
+    colx = jax.lax.broadcasted_iota(jnp.int32, (n, win), 0)
+    rowx = jax.lax.broadcasted_iota(jnp.int32, (n, win), 1)
+    expand_h_t = (colx // win == rowx).astype(jnp.bfloat16)  # (n, win)
+    expand_w_t = (colx % win == rowx).astype(jnp.bfloat16)
     for j in range(gw):
         # window tokens (n, 3C): rows of the (win, win, 3C) slab stacked
         # along sublanes by concatenation (Mosaic-supported; a plain
@@ -412,16 +412,18 @@ def _window_block_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,
             q = qkv[:, h * head_dim:(h + 1) * head_dim]
             k = qkv[:, c + h * head_dim:c + (h + 1) * head_dim]
             v = qkv[:, 2 * c + h * head_dim:2 * c + (h + 1) * head_dim]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
             rh = rh_all[:, h * win:(h + 1) * win].astype(jnp.bfloat16)
             rw = rw_all[:, h * win:(h + 1) * win].astype(jnp.bfloat16)
-            s = s + jax.lax.dot_general(
-                rh, expand_h, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            s = s + jax.lax.dot_general(
-                rw, expand_w, (((1,), (0,)), ((), ())),
+            # fold the rel expansion INTO the QK contraction: logits =
+            # [q*scale, rh, rw] @ [k, 1_h, 1_w]^T — one K=hd+2*win matmul
+            # replaces qk + two K=win expand matmuls (the small-matmul
+            # sequencing is this kernel's wall, not FLOPs)
+            aug_q = jnp.concatenate(
+                [(q.astype(jnp.float32) * scale).astype(jnp.bfloat16),
+                 rh, rw], axis=1)
+            aug_k = jnp.concatenate([k, expand_h_t, expand_w_t], axis=1)
+            s = jax.lax.dot_general(
+                aug_q, aug_k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             s = s - jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s)
