@@ -316,9 +316,13 @@ class Block(nn.Module):
             delta = jnp.zeros_like(x)
         shortcut, y = LayerNorm(dtype=self.dtype, name="norm1")(x, delta)
         y = y.reshape(b, h, w, c)
+        # the token-count floor keeps tiny dryrun/test configs (e.g. the
+        # 2x2-window multichip dryrun, which runs on a CPU mesh while the
+        # default backend is still the TPU plugin) off the Pallas path
         fused_window = (
             self.window_size > 0 and self.use_flash and self.use_rel_pos
             and jax.default_backend() == "tpu"
+            and self.window_size * self.window_size >= 64
             and self.dim // self.num_heads <= 128)
         if fused_window:
             # partition-free path: zero-pad the LN output spatially and let
