@@ -85,9 +85,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, nk_valid: int):
         s = jnp.where(col < nk_valid, s, _NEG_INF)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 def _flash_relpos_kernel(
@@ -118,9 +118,9 @@ def _flash_relpos_kernel(
     del bq
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
@@ -216,29 +216,33 @@ def _global_relpos_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
     q = q_ref[...]  # (bq, 128)
     k = k_ref[...]  # (nk, 128)
     v = v_ref[...]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (bq, nk)
     rh = rh_ref[0]  # (bq, kh)
     rw = rw_ref[0]  # (bq, kw)
     nk = kh * kw
-    col = jax.lax.broadcasted_iota(jnp.int32, (kh, nk), 1)
-    row_h = jax.lax.broadcasted_iota(jnp.int32, (kh, nk), 0)
-    expand_h = (col // kw == row_h).astype(jnp.bfloat16)
-    col_w = jax.lax.broadcasted_iota(jnp.int32, (kw, nk), 1)
-    row_w = jax.lax.broadcasted_iota(jnp.int32, (kw, nk), 0)
-    expand_w = (col_w % kw == row_w).astype(jnp.bfloat16)
-    s = s + jax.lax.dot_general(
-        rh.astype(jnp.bfloat16), expand_h, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    s = s + jax.lax.dot_general(
-        rw.astype(jnp.bfloat16), expand_w, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    # fold the rel expansion INTO the QK contraction (one K=128+kh+kw matmul
+    # instead of qk + two expand matmuls — same FLOPs, 3x fewer MXU issues):
+    #   logits[t, u] = scale*q[t].k[u] + rh[t, u//kw] + rw[t, u%kw]
+    #               = [scale*q[t], rh[t], rw[t]] . [k[u], 1_h(u), 1_w(u)]
+    row_u = jax.lax.broadcasted_iota(jnp.int32, (nk, kh), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (nk, kh), 1)
+    eh_t = (row_u // kw == col_i).astype(jnp.bfloat16)  # (nk, kh)
+    row_u2 = jax.lax.broadcasted_iota(jnp.int32, (nk, kw), 0)
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (nk, kw), 1)
+    ew_t = (row_u2 % kw == col_j).astype(jnp.bfloat16)  # (nk, kw)
+    aug_q = jnp.concatenate(
+        [(q.astype(jnp.float32) * scale).astype(jnp.bfloat16),
+         rh.astype(jnp.bfloat16), rw.astype(jnp.bfloat16)], axis=1)
+    aug_k = jnp.concatenate([k.astype(jnp.bfloat16), eh_t, ew_t], axis=1)
+    s = jax.lax.dot_general(
+        aug_q, aug_k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (bq, nk)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.sum(p, axis=-1, keepdims=True)  # (bq, 1)
     o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[...] = o.astype(o_ref.dtype)
+    # deferred normalization: divide the (bq, 128) output, not the (bq, nk)
+    # probability matrix — one full-width VPU pass saved per program
+    o_ref[...] = (o / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "kh", "kw", "heads",
@@ -334,9 +338,10 @@ def _window_relpos_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,
             preferred_element_type=jnp.float32)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        l = jnp.sum(p, axis=-1, keepdims=True)
         o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        o_ref[0, :, h * head_dim:(h + 1) * head_dim] = o.astype(o_ref.dtype)
+        o_ref[0, :, h * head_dim:(h + 1) * head_dim] = \
+            (o / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "kh", "kw", "heads",
@@ -427,10 +432,11 @@ def _window_block_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,
                 preferred_element_type=jnp.float32)
             s = s - jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            l = jnp.sum(p, axis=-1, keepdims=True)
             o = jnp.dot(p.astype(v.dtype), v,
                         preferred_element_type=jnp.float32)
-            outs.append(o.astype(o_ref.dtype))
+            # deferred normalization: divide the (n, hd) output, not (n, n)
+            outs.append((o / l).astype(o_ref.dtype))
         o_win = jnp.concatenate(outs, axis=1)  # (n, C)
         for r in range(win):
             o_ref[0, r, j * win:(j + 1) * win, :] = \
