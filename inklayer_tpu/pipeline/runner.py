@@ -156,6 +156,8 @@ class InkLayerPipeline:
         self._batched_encoder = None
         self._det_cache: dict = {}
         self._sam_state_cache: dict = {}
+        self._img_cache: dict = {}
+        self._depth_cache: dict = {}
 
     def enable_batched_encoder(self, batch_buckets=(1, 2, 4),
                                max_wait_ms: float = 10.0):
@@ -183,17 +185,22 @@ class InkLayerPipeline:
 
     def run_dir(self, paths, out_base_dir: str, no_intermediate: bool = False,
                 inpaint: bool = False, batch_size: int = 1,
-                workers: int = 4):
+                workers: int = 1):
         """Directory sweep with host-IO/device overlap: image i's PNG
         output-contract work runs on writer threads while image i+1 is on
         device (the reference processes strictly sequentially).
 
-        workers > 1 runs that many images CONCURRENTLY on worker threads:
-        the device serializes their compute anyway, but image B's device
-        stages execute inside image A's host stalls (~4 tunnel round-trips
-        + PNG/json work per image), pushing throughput toward the
-        device-bound rate.  All per-image state is thread-local
-        (predict_device_state, local dispatch closures).
+        workers == 1 (default) pipelines on ONE thread: the full device
+        front of image i+1 (upload, detect with chained top-K boxes, SAM
+        encode, depth) is dispatched asynchronously before image i's
+        readbacks, so the device streams while the host blocks.  Measured
+        on v5e through the axon tunnel this beats thread-per-image
+        concurrency (1.4-1.5 vs 0.95-0.99 sketches/s at workers=2/4):
+        concurrent dispatch threads thrash the GIL and the runtime's
+        dispatch path instead of overlapping.
+
+        workers > 1 runs that many images concurrently on worker threads
+        (kept for hosts where dispatch is cheap and host work dominates).
 
         batch_size > 1 instead BATCHES the two big model dispatches
         across images: GDINO detect groups same-bucket images into one
@@ -205,6 +212,7 @@ class InkLayerPipeline:
         try:
             if batch_size > 1:
                 self._prefill_batches(paths, batch_size)
+            self._img_cache, self._depth_cache = {}, {}
             if inpaint:
                 workers = 1  # the inpaint path drains mid-run (reads masks
                 # from disk); concurrent drains could clear another worker's
@@ -222,20 +230,35 @@ class InkLayerPipeline:
                 return outs
             outs = []
             for i, p in enumerate(paths):
-                # cross-stage device pipelining: enqueue GDINO for image i+1
-                # NOW so it executes while image i is in SAM/refine readbacks
-                # and PNG IO (jax async dispatch fills the host-side gaps)
+                # cross-stage device pipelining: enqueue the FULL device
+                # front of image i+1 (upload, detect incl. the device top-K
+                # boxes that chain into SAM decode, ViT-H encode, depth)
+                # while image i blocks on its first readback — run() invokes
+                # the hook right before that block, so i+1's front queues
+                # AFTER image i's own dispatches but fills the device during
+                # image i's host stalls
                 nxt = paths[i + 1] if i + 1 < len(paths) else None
-                if nxt is not None and nxt not in self._det_cache:
+
+                def _prefetch(nxt=nxt):
+                    if nxt is None or nxt in self._det_cache:
+                        return
                     img_next = np.asarray(Image.open(nxt).convert("RGB"))
+                    dev_next = upload_image(img_next)
                     self._det_cache[nxt] = \
-                        self.detector.detect_dispatch(img_next)
+                        self.detector.detect_dispatch_device(dev_next)
+                    self._sam_state_cache[nxt] = \
+                        self.sam.compute_image_state(dev_next)
+                    self._depth_cache[nxt] = \
+                        self.depth.infer_image_device(dev_next)
+                    self._img_cache[nxt] = dev_next
+
                 outs.append(self.run(p, out_base_dir, no_intermediate,
-                                     inpaint))
+                                     inpaint, _prefetch_hook=_prefetch))
         finally:
             self.drain()
             self.async_io = False
             self._det_cache, self._sam_state_cache = {}, {}
+            self._img_cache, self._depth_cache = {}, {}
         return outs
 
     def _prefill_batches(self, paths, batch_size: int):
@@ -258,7 +281,8 @@ class InkLayerPipeline:
 
     # ------------------------------------------------------------------
     def run(self, input_path: str, out_base_dir: str,
-            no_intermediate: bool = False, inpaint: bool = False) -> str:
+            no_intermediate: bool = False, inpaint: bool = False,
+            _prefetch_hook=None) -> str:
         cfg = self.cfg
         input_name = os.path.basename(input_path).split(".")[0]
         image_pil = Image.open(input_path).convert("RGB")
@@ -277,8 +301,11 @@ class InkLayerPipeline:
         # single host->device upload of the input image (one channel when
         # grayscale-in-RGB); every stage's jnp.asarray(image) is then a
         # no-op (the tunnel makes repeated uploads of the same pixels the
-        # next-biggest IO cost after masks)
-        image_dev = upload_image(image)
+        # next-biggest IO cost after masks).  run_dir's lookahead may have
+        # uploaded it already.
+        image_dev = self._img_cache.pop(input_path, None)
+        if image_dev is None:
+            image_dev = upload_image(image)
 
         # mmdetection alt path (refinement/bbox_filter.py:40-45): when
         # mmdet_out/*.json is present its boxes replace GDINO's before NMS,
@@ -293,15 +320,21 @@ class InkLayerPipeline:
         # while the host blocks on the detect readback and does bbox
         # json/draw/PNG work — instead of idling between serialized stages
         t0 = time.perf_counter()
-        det_fin = self._det_cache.get(input_path)
+        cached_det = self._det_cache.pop(input_path, None)
         boxes_dev = None
-        if det_fin is None:
+        if cached_det is None:
             det_fin, _scores_dev, boxes_dev = \
                 self.detector.detect_dispatch_device(image_dev)
+        elif isinstance(cached_det, tuple):
+            # run_dir lookahead cached the device triple, keeping the
+            # detect -> SAM decode chaining live for prefetched images
+            det_fin, _scores_dev, boxes_dev = cached_det
+        else:
+            det_fin = cached_det
         self.stage_times.add("detect", time.perf_counter() - t0)
 
         t0 = time.perf_counter()
-        sam_state = self._sam_state_cache.get(input_path)
+        sam_state = self._sam_state_cache.pop(input_path, None)
         if sam_state is None:
             # async ViT-H encode dispatch; the state stays LOCAL to this
             # call (no predictor mutation) so concurrent run_dir workers
@@ -321,7 +354,9 @@ class InkLayerPipeline:
         self.stage_times.add("segment", time.perf_counter() - t0)
 
         t0 = time.perf_counter()
-        depth = self.depth.infer_image_device(image_dev)
+        depth = self._depth_cache.pop(input_path, None)
+        if depth is None:
+            depth = self.depth.infer_image_device(image_dev)
         depth_u8 = _quantize_depth(depth)
         self.stage_times.add("depth", time.perf_counter() - t0)
 
@@ -502,6 +537,15 @@ class InkLayerPipeline:
 
         self._submit(write_final_outputs, disjoint_dev, final_dev, depth_u8,
                      extra_valid)
+
+        if _prefetch_hook is not None:
+            # run_dir lookahead: ALL of this image's device work is queued;
+            # dispatch image i+1's device front now so it executes under
+            # this image's final readback + PNG tail and the next host
+            # prelude.  (Dispatching it any earlier injects ~0.2s of i+1
+            # device work ahead of this image's data-dependent NMS/refine
+            # dispatches — measured as a net loss through the tunnel.)
+            _prefetch_hook()
 
         # ---- inpainting ---------------------------------------------------
         if inpaint:
