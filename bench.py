@@ -63,7 +63,12 @@ def build_workload():
               jnp.asarray(pos.astype(np.int32)))
 
     def fill(shapes):
-        return jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+        # bf16 param storage on TPU: fp32 params cost a convert + 2x HBM
+        # reads inside every consumer matmul fusion
+        return jax.tree.map(
+            lambda s: jnp.full(
+                s.shape, 0.01,
+                dtype if s.dtype == jnp.float32 else s.dtype), shapes)
 
     gparams = fill(jax.eval_shape(lambda k: gmodel.init(k, *g_args),
                                   jax.random.key(0)))

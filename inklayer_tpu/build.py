@@ -19,7 +19,23 @@ from inklayer_tpu.models.sam import Sam, SamPredictor
 from inklayer_tpu.pipeline.runner import InkLayerPipeline
 
 
-def _placeholder_params(model, *example_args, seed: int = 0):
+def cast_params(params, dtype):
+    """Cast floating-point param leaves to the compute dtype (bf16 on TPU).
+
+    Weights otherwise live in HBM as fp32 and XLA fuses a convert into every
+    consumer matmul — for SAM ViT-H that is ~2.5GB of fp32 param reads per
+    forward vs ~1.27GB in bf16 (measured ~3ms/fwd on v5e, /tmp/sam_hlo.txt
+    fused_computation.507: f32[1280,5120] converted inside the fc1 fusion).
+    All norm/softmax statistics are computed in fp32 regardless (LayerNorm
+    kernels upcast internally), so bf16 storage costs no stability."""
+    if dtype == jnp.float32:
+        return params
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+
+
+def _placeholder_params(model, *example_args, seed: int = 0, dtype=None):
     """Structure-only params created ON DEVICE without running the real
     initialisers: zeros + tiny per-leaf deterministic offsets.  Used when no
     checkpoint is available (this env ships none) — outputs are numerically
@@ -27,7 +43,10 @@ def _placeholder_params(model, *example_args, seed: int = 0):
     shapes = jax.eval_shape(
         lambda k: model.init(k, *example_args), jax.random.key(seed))
     leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    filled = [jnp.full(l.shape, 0.01 + 0.001 * (i % 7), l.dtype)
+    filled = [jnp.full(l.shape, 0.01 + 0.001 * (i % 7),
+                       dtype if (dtype is not None
+                                 and jnp.issubdtype(l.dtype, jnp.floating))
+                       else l.dtype)
               for i, l in enumerate(leaves)]
     return jax.tree_util.tree_unflatten(treedef, filled)
 
@@ -53,9 +72,10 @@ def build_detector(cfg: PipelineConfig = PipelineConfig(),
         gd_ckpt = p if os.path.exists(p) else None
     if gd_ckpt:
         from inklayer_tpu.io.weights import load_gdino_params
-        gparams = load_gdino_params(gd_ckpt, cfg.gdino, gmodel, g_args)
+        gparams = cast_params(
+            load_gdino_params(gd_ckpt, cfg.gdino, gmodel, g_args), dtype)
     else:
-        gparams = _placeholder_params(gmodel, *g_args)
+        gparams = _placeholder_params(gmodel, *g_args, dtype=dtype)
     if vocab_path is None and models_dir:
         # bert-base-uncased vocab.txt for exact caption tokenization
         # (reference: groundingdino/util/get_tokenlizer.py AutoTokenizer)
@@ -93,9 +113,10 @@ def build_pipeline(cfg: PipelineConfig = PipelineConfig(),
     sam_ckpt = ckpt("sam_vit_h_4b8939.pth")
     if sam_ckpt:
         from inklayer_tpu.io.weights import load_sam_params
-        sparams = load_sam_params(sam_ckpt, cfg.sam, smodel, s_args)
+        sparams = cast_params(
+            load_sam_params(sam_ckpt, cfg.sam, smodel, s_args), dtype)
     else:
-        sparams = _placeholder_params(smodel, *s_args)
+        sparams = _placeholder_params(smodel, *s_args, dtype=dtype)
     sam_predictor = SamPredictor(sparams, cfg.sam, dtype=dtype)
 
     # ---- Depth ----------------------------------------------------------
@@ -104,9 +125,10 @@ def build_pipeline(cfg: PipelineConfig = PipelineConfig(),
     d_ckpt = ckpt(f"depth_anything_v2_{cfg.depth.encoder}.pth")
     if d_ckpt:
         from inklayer_tpu.io.weights import load_depth_params
-        dparams = load_depth_params(d_ckpt, cfg.depth, dmodel, d_args)
+        dparams = cast_params(
+            load_depth_params(d_ckpt, cfg.depth, dmodel, d_args), dtype)
     else:
-        dparams = _placeholder_params(dmodel, *d_args)
+        dparams = _placeholder_params(dmodel, *d_args, dtype=dtype)
     depth_est = DepthEstimator(dparams, cfg.depth, dtype=dtype)
 
     inpainter = build_inpainter(cfg, dtype=dtype, models_dir=models_dir)
@@ -215,7 +237,8 @@ def build_inpainter(cfg: PipelineConfig, dtype: jnp.dtype = jnp.float32,
             path = ckpts[name]
             if path:
                 t0 = time.time()
-                params[name] = load[name](path, model, example_args[name])
+                params[name] = cast_params(
+                    load[name](path, model, example_args[name]), dtype)
                 print(f"[inpaint] converted {name} from {path} "
                       f"({time.time() - t0:.1f}s)")
             else:
@@ -223,7 +246,8 @@ def build_inpainter(cfg: PipelineConfig, dtype: jnp.dtype = jnp.float32,
                     print(f"[inpaint] WARNING: no {name} checkpoint under "
                           f"{models_dir} — using placeholder params "
                           "(outputs will be noise)")
-                params[name] = _placeholder_params(model, *example_args[name])
+                params[name] = _placeholder_params(
+                    model, *example_args[name], dtype=dtype)
         tokenizer = CLIPTokenizer(vocab_path=ckpts["clip_vocab"],
                                   merges_path=ckpts["clip_merges"])
         return ControlNetInpaintPipeline(params, d, dtype=dtype,

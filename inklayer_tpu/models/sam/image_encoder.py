@@ -294,6 +294,7 @@ class Block(nn.Module):
     input_size: Tuple[int, int] = (64, 64)
     use_rel_pos: bool = True
     use_flash: bool = True
+    fused_mlp: bool = True  # Pallas fc1->GELU->fc2 (TPU bf16 only)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -355,7 +356,8 @@ class Block(nn.Module):
                 use_flash=self.use_flash, dtype=self.dtype, name="attn")(y)
         x, y = LayerNorm(dtype=self.dtype, name="norm2")(
             shortcut, y.reshape(b, n, c))
-        y = MLP(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(y)
+        y = MLP(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+                fused=self.fused_mlp, name="mlp")(y)
         return x, y
 
 
@@ -371,6 +373,8 @@ class ImageEncoderViT(nn.Module):
     global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
     use_rel_pos: bool = True  # ablation knob; SAM checkpoints require True
     use_flash: bool = True  # ablation knob: global blocks via Pallas kernel
+    patch_matmul: bool = True  # patch embed as space-to-depth + matmul
+    fused_mlp: bool = True  # Pallas fc1->GELU->fc2 (TPU bf16 only)
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
@@ -380,7 +384,7 @@ class ImageEncoderViT(nn.Module):
         (B, img_size/16, img_size/16, out_chans) embedding."""
         grid = self.img_size // self.patch_size
         x = PatchEmbed(self.patch_size, self.embed_dim, dtype=self.dtype,
-                       name="patch_embed")(x)
+                       as_matmul=self.patch_matmul, name="patch_embed")(x)
         pos = self.param("pos_embed", nn.initializers.zeros,
                          (1, grid, grid, self.embed_dim))
         b = x.shape[0]
@@ -404,6 +408,7 @@ class ImageEncoderViT(nn.Module):
                 input_size=(grid, grid),
                 use_rel_pos=self.use_rel_pos,
                 use_flash=self.use_flash,
+                fused_mlp=self.fused_mlp,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, delta)

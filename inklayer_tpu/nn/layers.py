@@ -21,16 +21,49 @@ def gelu_exact(x):
     return nn.gelu(x, approximate=False)
 
 
+class _DenseParams(nn.Module):
+    """Declares ``kernel``/``bias`` with nn.Dense's initializers and param
+    tree (so checkpoint converters are untouched) without applying them —
+    used by fused kernels that consume the raw weights."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class MLP(nn.Module):
-    """Transformer feed-forward: Linear -> act -> Linear."""
+    """Transformer feed-forward: Linear -> act -> Linear.
+
+    ``fused=True`` routes exact-GELU bf16 calls on TPU through the Pallas
+    fc1->GELU->fc2 kernel (ops/mlp.py): the (T, hidden) activation stays in
+    VMEM instead of round-tripping through HBM between two XLA fusions."""
 
     hidden_dim: int
     out_dim: int
     act: Callable = gelu_exact
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
+        tokens = x.size // x.shape[-1]
+        if (self.fused and self.act is gelu_exact
+                and self.dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"
+                and x.shape[-1] % 128 == 0 and self.out_dim % 128 == 0
+                and self.hidden_dim % 512 == 0 and tokens % 512 == 0):
+            from inklayer_tpu.ops.mlp import mlp_gelu
+            w1, b1 = _DenseParams(self.hidden_dim, name="fc1")(x.shape[-1])
+            w2, b2 = _DenseParams(self.out_dim, name="fc2")(self.hidden_dim)
+            out = mlp_gelu(
+                x.reshape(tokens, x.shape[-1]).astype(self.dtype),
+                w1.astype(self.dtype), b1, w2.astype(self.dtype), b2)
+            return out.reshape(*x.shape[:-1], self.out_dim)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         x = self.act(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
@@ -127,16 +160,59 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+class _PatchProj(nn.Module):
+    """Conv-parameter-compatible patch projection as one matmul.
+
+    Declares the same ``kernel (p, p, in, out)`` / ``bias (out,)`` params as
+    the ``nn.Conv`` it replaces (checkpoint converters untouched) but applies
+    them as ``(tokens, p*p*in) @ (p*p*in, out)`` — the strided conv with
+    C_in=3 lowers to a T(2,128)-tiled convolution that costs ~2.5 ms/fwd on
+    v5e (plus a 0.85 ms input layout copy); the space-to-depth + matmul
+    formulation is pure MXU."""
+
+    patch_size: int
+    embed_dim: int
+    in_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):  # xp: (b, tokens, p*p*in_ch)
+        p = self.patch_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (p, p, self.in_ch, self.embed_dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.embed_dim,))
+        w = kernel.reshape(p * p * self.in_ch, self.embed_dim)
+        return (jnp.dot(xp, w.astype(self.dtype),
+                        preferred_element_type=self.dtype)
+                + bias.astype(self.dtype))
+
+
 class PatchEmbed(nn.Module):
-    """Image-to-patch embedding via strided conv. Input NHWC."""
+    """Image-to-patch embedding via strided conv. Input NHWC.
+
+    ``as_matmul`` applies the conv weights as space-to-depth + matmul with an
+    identical parameter tree (see _PatchProj)."""
 
     patch_size: int
     embed_dim: int
     dtype: jnp.dtype = jnp.float32
     flatten: bool = False
+    as_matmul: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.as_matmul:
+            p = self.patch_size
+            b, hh, ww, c = x.shape
+            h, w = hh // p, ww // p
+            xp = x.reshape(b, h, p, w, p, c)
+            xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * w, p * p * c)
+            out = _PatchProj(p, self.embed_dim, c, dtype=self.dtype,
+                             name="proj")(xp.astype(self.dtype))
+            if self.flatten:
+                return out
+            return out.reshape(b, h, w, self.embed_dim)
         x = nn.Conv(
             self.embed_dim,
             kernel_size=(self.patch_size, self.patch_size),

@@ -16,7 +16,9 @@ model = ImageEncoderViT(dtype=jnp.bfloat16)
 x = jnp.asarray(np.random.RandomState(0).randn(1, 1024, 1024, 3),
                 jnp.bfloat16)
 shapes = jax.eval_shape(lambda k: model.init(k, x), jax.random.key(0))
-params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+params = jax.tree.map(
+    lambda s: jnp.full(s.shape, 0.01, jnp.bfloat16
+                       if s.dtype == jnp.float32 else s.dtype), shapes)
 
 
 @jax.jit
