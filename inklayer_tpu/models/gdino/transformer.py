@@ -110,6 +110,9 @@ class MSDeformAttnModule(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    # encoder self-attn: queries ARE the flattened level rasters, enabling
+    # the 2D-tiled x-windowed kernel (ops/deformable.py 'tiled')
+    query_raster: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -152,7 +155,8 @@ class MSDeformAttnModule(nn.Module):
         else:
             loc = ref[:, :, None, :, None, :2] + \
                 offsets / p * ref[:, :, None, :, None, 2:] * 0.5
-        out = ms_deform_attn(v, spatial_shapes, loc, attn)
+        out = ms_deform_attn(v, spatial_shapes, loc, attn,
+                             query_raster=self.query_raster)
         return nn.Dense(self.d_model, dtype=self.dtype, name="output_proj")(out)
 
 
@@ -170,7 +174,7 @@ class DeformableEncoderLayer(nn.Module):
         c = self.cfg
         attn = MSDeformAttnModule(
             c.hidden_dim, c.num_feature_levels, c.nheads, c.enc_n_points,
-            dtype=self.dtype, name="self_attn")(
+            query_raster=True, dtype=self.dtype, name="self_attn")(
                 src + pos, reference_points, src, spatial_shapes, pad_mask)
         src = LayerNorm(dtype=self.dtype, name="norm1")(src + attn)
         h = nn.Dense(c.dim_feedforward, dtype=self.dtype, name="linear1")(src)

@@ -26,6 +26,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def ms_deform_attn(
@@ -34,6 +35,7 @@ def ms_deform_attn(
     sampling_locations: jax.Array,  # (B, Lq, n_heads, n_levels, n_points, 2) in [0,1]
     attention_weights: jax.Array,  # (B, Lq, n_heads, n_levels, n_points)
     impl: str = "auto",
+    query_raster: bool = False,
 ) -> jax.Array:
     """Returns (B, Lq, n_heads * head_dim).
 
@@ -43,13 +45,23 @@ def ms_deform_attn(
       'pallas' — fused kernel: per-level value tile stays in VMEM, both
                  separable contractions fused (no HBM intermediate; measured
                  58 -> 33 -> 20 ms/encoder-layer gather/dense/pallas on v5e);
-      'auto'   — pallas on TPU for large query counts, gather otherwise."""
+      'tiled'  — 2D-query-tiled variant of 'pallas' with dynamic x-windows
+                 on the big levels (requires ``query_raster``: queries are
+                 the flattened level rasters, i.e. encoder self-attention);
+                 ~2x on the level-0 share (see _ms_deform_attn_pallas_tiled);
+      'auto'   — tiled/pallas on TPU for large query counts, gather
+                 otherwise."""
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu and sampling_locations.shape[1] >= 512:
-            impl = "pallas"
+            impl = ("tiled" if query_raster
+                    and _tiled_plan(spatial_shapes) is not None else "pallas")
         else:
             impl = "gather"
+    if impl == "tiled":
+        return _ms_deform_attn_pallas_tiled(value, spatial_shapes,
+                                            sampling_locations,
+                                            attention_weights)
     if impl == "pallas":
         return _ms_deform_attn_pallas_fused(value, spatial_shapes,
                                             sampling_locations,
@@ -480,3 +492,387 @@ def ms_deform_attn_ref(value, spatial_shapes, sampling_locations, attention_weig
                                     s = s + wy * wx * vl[yi, xi]
                         out[bi, q, hd] += s * wts[bi, q, hd, lvl, p]
     return out.reshape(b, lq, n_heads * d)
+
+
+# ---------------------------------------------------------------------------
+# Tiled-window kernel (v5): 2D query tiles + dynamic x-windows on big levels
+# ---------------------------------------------------------------------------
+#
+# The fused dense kernel computes the full interpolated row t = Sy @ V of
+# width d*ww per query — ~50x wider than the 2-tap bilinear support.  For
+# encoder queries (raster-ordered per level) the samples of a 2D query tile
+# touch only a narrow x-range of the big levels, so t shrinks to a 48/32
+# column dynamic window: queries are re-tiled (ty, tx) host-side with pure
+# reshape/transposes, the window block index per (head, tile, level) is
+# computed in XLA and fed through scalar prefetch, and samples whose taps
+# fall outside their tile's window are EXCLUDED from the windowed kernel
+# (weights zeroed) and computed exactly by the dense kernel under a
+# lax.cond that only fires when such samples exist (offsets beyond ~7-23px
+# of the tile bound; never at the reference's offset-init scale).
+# All levels share ONE reduce matmul (vstacked selector): matmul ops carry
+# a measured ~0.25us fixed cost each (scripts/_tmp_deform_probe.py).
+
+_WBLK = 16    # window block granularity (columns)
+_TILE_Q = 400  # queries per tile = ty*tx (50x8 at standard GDINO shapes)
+
+
+def _nwb(ww):
+    """Window size in 16-col blocks for a windowed level."""
+    return 3 if ww > 64 else 2
+
+
+def _win_levels(spatial_shapes):
+    return [l for l, (hh, ww) in enumerate(spatial_shapes) if ww > 3 * _WBLK]
+
+
+def _tiled_plan(spatial_shapes, d=32):
+    """Static tiling plan. Returns (tiles, win_levels) or None.
+
+    tiles[L] = (ty, tx) for query levels processed by the tiled kernel
+    (None = tail -> dense kernel); win_levels = sampled levels whose value
+    tensor is windowed."""
+    if (d * _WBLK) % 128 != 0:  # window piece widths must be lane-aligned
+        return None
+    win_levels = _win_levels(spatial_shapes)
+    if not win_levels:
+        return None
+    tiles = []
+    for L, (hq, wq) in enumerate(spatial_shapes):
+        ty = min(hq, 50)
+        if ty < 25 or _TILE_Q % ty or hq * wq < 1000:
+            tiles.append(None)
+            continue
+        tx = _TILE_Q // ty
+        if tx > 8 or wq < tx:
+            tiles.append(None)
+            continue
+        tiles.append((ty, tx))
+    if not any(tiles):
+        return None
+    return tiles, win_levels
+
+
+def _tile_fwd(arr, hq, wq, ty, tx):
+    """(bh, hq*wq, k) -> (bh, ntiles*ty*tx, k) in tile raster order."""
+    bh, _, k = arr.shape
+    hp = -(-hq // ty) * ty
+    wp = -(-wq // tx) * tx
+    a = arr.reshape(bh, hq, wq, k)
+    a = jnp.pad(a, ((0, 0), (0, hp - hq), (0, wp - wq), (0, 0)))
+    a = a.reshape(bh, hp // ty, ty, wp // tx, tx, k)
+    a = a.transpose(0, 1, 3, 2, 4, 5)
+    return a.reshape(bh, (hp // ty) * (wp // tx) * ty * tx, k)
+
+
+def _tile_inv(arr, hq, wq, ty, tx):
+    """Inverse of _tile_fwd on (bh, ntiles*ty*tx, k)."""
+    bh, _, k = arr.shape
+    hp = -(-hq // ty) * ty
+    wp = -(-wq // tx) * tx
+    a = arr.reshape(bh, hp // ty, wp // tx, ty, tx, k)
+    a = a.transpose(0, 1, 3, 2, 4, 5).reshape(bh, hp, wp, k)
+    return a[:, :hq, :wq].reshape(bh, hq * wq, k)
+
+
+def _wwpad(ww, d):
+    """Pad ww so the w-minor width d*ww_pad is 128-aligned (lane concat)."""
+    g = 128 // np.gcd(d, 128)
+    return -(-ww // g) * g
+
+
+def _pallas_tiled_kernel(spatial_shapes, d, n_points, bq, win_levels):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # static per-level geometry
+    geo = []
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        if lvl in win_levels:
+            geo.append((hh, ww, _nwb(ww) * _WBLK, True))
+        else:
+            geo.append((hh, ww, _wwpad(ww, d), False))
+
+    def kern(s_ref, y_ref, x_ref, w_ref, *refs):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        o_ref, e_ref = refs[-2], refs[-1]
+        prods = []
+        reduces = []
+        esc_cnt = jnp.zeros((bq, 1), jnp.float32)
+        ri = 0
+        for lvl, (hh, ww, wwk, windowed) in enumerate(geo):
+            if windowed:
+                nwb = wwk // _WBLK
+                v = jnp.concatenate(
+                    [refs[ri + t][0, 0] for t in range(nwb)], axis=1)
+                ri += nwb
+                a0 = (s_ref[i, j, win_levels.index(lvl)]
+                      * _WBLK).astype(jnp.float32)
+                # col j of the window: x-position = (j // (d*16))*16 + j%16
+                cj = jax.lax.broadcasted_iota(jnp.int32, (bq, d * wwk), 1)
+                coloff = ((cj // (d * _WBLK)) * _WBLK
+                          + cj % _WBLK).astype(jnp.float32)
+            else:
+                v = refs[ri][0]
+                ri += 1
+                a0 = 0.0
+                cj = jax.lax.broadcasted_iota(jnp.int32, (bq, d * wwk), 1)
+                coloff = (cj % wwk).astype(jnp.float32)
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (bq, hh), 1).astype(jnp.float32)
+            k0 = lvl * n_points
+            sys_, sxs = [], []
+            for p in range(n_points):
+                yv = y_ref[0, :, k0 + p][:, None]
+                xv = x_ref[0, :, k0 + p][:, None]
+                xl = xv - a0
+                wlp = w_ref[0, :, k0 + p][:, None]
+                if windowed:
+                    # escaped sample: an in-image x-tap outside the window.
+                    # Zero it here (exact value comes from the dense-kernel
+                    # correction the wrapper runs when e_ref reports any).
+                    c0 = jnp.floor(xv)
+                    esc = jnp.zeros((bq, 1), bool)
+                    for dx in (0.0, 1.0):
+                        c = c0 + dx
+                        esc |= ((c >= 0) & (c <= ww - 1)
+                                & ((c < a0) | (c >= a0 + wwk)))
+                    esc &= (yv > -1.0) & (yv < hh) & (wlp > 0)
+                    esc = esc.astype(jnp.float32)
+                    esc_cnt = esc_cnt + esc
+                    wlp = wlp * (1.0 - esc)
+                sys_.append(jnp.maximum(0.0, 1.0 - jnp.abs(yv - rows))
+                            .astype(jnp.bfloat16))
+                sxs.append((jnp.maximum(0.0, 1.0 - jnp.abs(xl - coloff))
+                            * wlp).astype(jnp.bfloat16))
+            sy = jnp.concatenate(sys_, axis=0)      # (P*bq, hh)
+            sx_exp = jnp.concatenate(sxs, axis=0)   # (P*bq, d*wwk)
+            t = jnp.dot(sy, v, preferred_element_type=jnp.float32
+                        ).astype(jnp.bfloat16)
+            prods.append(t * sx_exp)
+            # selector rows for this level in the vstacked mega-reduce
+            rg = jax.lax.broadcasted_iota(jnp.int32, (d * wwk, d), 0)
+            cg = jax.lax.broadcasted_iota(jnp.int32, (d * wwk, d), 1)
+            if windowed:
+                reduces.append(((rg % (d * _WBLK)) // _WBLK == cg)
+                               .astype(jnp.bfloat16))
+            else:
+                reduces.append((rg // wwk == cg).astype(jnp.bfloat16))
+        prod = jnp.concatenate(prods, axis=1)    # (P*bq, sum_w)
+        red = jnp.concatenate(reduces, axis=0)   # (sum_w, d)
+        # fold the point dimension BEFORE the reduce matmul: 4x fewer
+        # K-deep reduce passes for three cheap VPU adds
+        psum = prod[0 * bq:1 * bq]
+        for p in range(1, n_points):
+            psum = psum + prod[p * bq:(p + 1) * bq]
+        acc = jnp.dot(psum, red, preferred_element_type=jnp.float32)
+        o_ref[0] = acc.astype(o_ref.dtype)
+        e_ref[i, j] = jnp.sum(esc_cnt)
+
+    return kern
+
+
+def _ms_deform_attn_pallas_tiled(value, spatial_shapes, sampling_locations,
+                                 attention_weights, interpret: bool = False):
+    """Tiled-window kernel for raster-ordered queries (encoder self-attn).
+
+    Exact: samples whose x-taps escape their tile's window are routed
+    through the dense kernel under lax.cond (weights split in-window /
+    escaped so nothing is double counted)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, h, d = value.shape
+    plan = _tiled_plan(spatial_shapes, d)
+    assert plan is not None
+    tiles, win_levels = plan
+    q = sampling_locations.shape[1]
+    n_levels = sampling_locations.shape[3]
+    n_points = sampling_locations.shape[4]
+    bq = _TILE_Q
+    bh = b * h
+    lp = n_levels * n_points
+
+    sizes_w = jnp.asarray([w_ for _, w_ in spatial_shapes], jnp.float32)
+    sizes_h = jnp.asarray([h_ for h_, _ in spatial_shapes], jnp.float32)
+    xy = sampling_locations.astype(jnp.float32)  # (B, Q, H, L, P, 2)
+    x = xy[..., 0] * sizes_w[None, None, None, :, None] - 0.5
+    y = xy[..., 1] * sizes_h[None, None, None, :, None] - 0.5
+    x = x.transpose(0, 2, 1, 3, 4).reshape(bh, q, lp)
+    y = y.transpose(0, 2, 1, 3, 4).reshape(bh, q, lp)
+    wl = attention_weights.astype(jnp.float32).transpose(0, 2, 1, 3, 4) \
+        .reshape(bh, q, lp)
+
+    # --- split queries: tiled levels vs tail --------------------------------
+    sizes_q = [hh * ww for hh, ww in spatial_shapes]
+    offs = np.cumsum([0] + sizes_q)
+    tiled_L = [L for L, t in enumerate(tiles) if t]
+    npad_L = {L: (-(-spatial_shapes[L][0] // tiles[L][0]) * tiles[L][0]) *
+              (-(-spatial_shapes[L][1] // tiles[L][1]) * tiles[L][1])
+              for L in tiled_L}
+
+    def fwd_all(a):
+        parts = [_tile_fwd(a[:, offs[L]:offs[L + 1]], *spatial_shapes[L],
+                           *tiles[L]) for L in tiled_L]
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    xt, yt, wt = fwd_all(x), fwd_all(y), fwd_all(wl)
+    n_tiles = xt.shape[1] // bq
+
+    # --- window block indices (tiled order) ---------------------------------
+    # One full-width (lp-lane) pass: per-level slices are 4-lane arrays that
+    # tile terribly on TPU; compute the per-(tile, level) min over all lp
+    # columns at once.  Escape detection lives INSIDE the kernel (it has the
+    # per-point scalars anyway) — the XLA-side mask is only rebuilt lazily
+    # in the correction branch.
+    x4 = xt.reshape(bh, n_tiles, bq, lp)
+    w4 = wt.reshape(bh, n_tiles, bq, lp)
+    xmin_c = jnp.min(jnp.where(w4 > 0, x4, jnp.inf), axis=2)  # (bh,nt,lp)
+    s_list = []
+    for wi, lvl in enumerate(win_levels):
+        hh, ww = spatial_shapes[lvl]
+        nwb = _nwb(ww)
+        nxb = -(-ww // _WBLK)
+        cols = slice(lvl * n_points, (lvl + 1) * n_points)
+        xmin = jnp.min(xmin_c[..., cols], axis=-1)  # (bh, n_tiles)
+        xmin = jnp.where(jnp.isfinite(xmin), xmin, 0.0)  # pad-only tiles
+        a_blk = jnp.clip(jnp.floor(xmin / _WBLK), 0, max(nxb - nwb, 0)
+                         ).astype(jnp.int32)
+        s_list.append((a_blk, nwb, cols))
+    s = jnp.stack([a for a, _, _ in s_list], axis=-1)  # (bh, nt, n_win)
+
+    # --- value layouts ------------------------------------------------------
+    v_ins, v_specs = [], []
+    off = 0
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        v = value[:, off: off + hh * ww].astype(jnp.bfloat16)
+        off += hh * ww
+        v5 = v.reshape(b, hh, ww, h, d)
+        if lvl in win_levels:
+            wi = win_levels.index(lvl)
+            nwb = _nwb(ww)
+            nxb = -(-ww // _WBLK)
+            vp = jnp.pad(v5, ((0, 0), (0, 0), (0, nxb * _WBLK - ww),
+                              (0, 0), (0, 0)))
+            # (b, hh, nxb, 16, h, d) -> (bh, nxb, hh, d*16), w-minor chunks
+            vt = vp.reshape(b, hh, nxb, _WBLK, h, d) \
+                .transpose(0, 4, 2, 1, 5, 3) \
+                .reshape(bh, nxb, hh, d * _WBLK)
+            for t in range(nwb):
+                v_ins.append(vt)
+                v_specs.append(pl.BlockSpec(
+                    (1, 1, hh, d * _WBLK),
+                    lambda i, j, sref, wi=wi, t=t: (i, sref[i, j, wi] + t,
+                                                    0, 0),
+                    memory_space=pltpu.VMEM))
+        else:
+            wwp = _wwpad(ww, d)
+            vt = v5.transpose(0, 3, 1, 4, 2).reshape(bh, hh, d, ww)
+            vt = jnp.pad(vt, ((0, 0), (0, 0), (0, 0), (0, wwp - ww))) \
+                .reshape(bh, hh, d * wwp)
+            v_ins.append(vt)
+            v_specs.append(pl.BlockSpec(
+                (1, hh, d * wwp), lambda i, j, sref: (i, 0, 0),
+                memory_space=pltpu.VMEM))
+
+    kern = _pallas_tiled_kernel(spatial_shapes, d, n_points, bq, win_levels)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bh, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, bq, lp), lambda i, j, sref: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, lp), lambda i, j, sref: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, lp), lambda i, j, sref: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ] + v_specs,
+        out_specs=(pl.BlockSpec((1, bq, d), lambda i, j, sref: (i, j, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bh, n_tiles), lambda i, j, sref: (0, 0),
+                                memory_space=pltpu.SMEM)),
+    )
+    o, esc_cnt = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((bh, n_tiles * bq, d), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((bh, n_tiles), jnp.float32)),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20),
+        interpret=interpret,
+    )(s, yt, xt, wt, *v_ins)
+
+    # --- back to query order ------------------------------------------------
+    out_parts = {}
+    pos_L = {}
+    pos = 0
+    for L in tiled_L:
+        hq, wq = spatial_shapes[L]
+        ty, tx = tiles[L]
+        npad = npad_L[L]
+        out_parts[L] = _tile_inv(o[:, pos:pos + npad], hq, wq, ty, tx)
+        pos_L[L] = pos
+        pos += npad
+
+    # --- tail queries through the dense kernel -----------------------------
+    tail_L = [L for L in range(n_levels) if not tiles[L]]
+    if tail_L:
+        tail_loc = jnp.concatenate(
+            [sampling_locations[:, offs[L]:offs[L + 1]] for L in tail_L],
+            axis=1)
+        tail_attn = jnp.concatenate(
+            [attention_weights[:, offs[L]:offs[L + 1]] for L in tail_L],
+            axis=1)
+        tail_o = _ms_deform_attn_pallas_fused(
+            value, spatial_shapes, tail_loc, tail_attn, interpret=interpret)
+        tail_o = tail_o.reshape(b, -1, h, d).transpose(0, 2, 1, 3) \
+            .reshape(bh, -1, d).astype(jnp.bfloat16)
+        toff = 0
+        for L in tail_L:
+            nL = sizes_q[L]
+            out_parts[L] = tail_o[:, toff:toff + nL]
+            toff += nL
+    out = jnp.concatenate([out_parts[L] for L in range(n_levels)], axis=1)
+
+    # --- exact escape correction (rare) -------------------------------------
+    def _corr(_):
+        # rebuild the per-sample escape mask (tiled order) — mirrors the
+        # in-kernel test — then scatter back to (B, Q, H, L, P) weights
+        lo_b = jnp.full((bh, n_tiles, 1, lp), -jnp.inf, jnp.float32)
+        hi_b = jnp.full((bh, n_tiles, 1, lp), jnp.inf, jnp.float32)
+        for a_blk, nwb, cols in s_list:
+            a0 = (a_blk * _WBLK).astype(jnp.float32)[:, :, None, None]
+            lo_b = lo_b.at[..., cols].set(a0)
+            hi_b = hi_b.at[..., cols].set(a0 + nwb * _WBLK)
+        ww_c = jnp.asarray(np.repeat(
+            [ww for _, ww in spatial_shapes], n_points).astype(np.float32))
+        hh_c = jnp.asarray(np.repeat(
+            [hh for hh, _ in spatial_shapes], n_points).astype(np.float32))
+        y4 = yt.reshape(bh, n_tiles, bq, lp)
+        tap0 = jnp.floor(x4)
+        esc = jnp.zeros(x4.shape, bool)
+        for dx in (0.0, 1.0):
+            c = tap0 + dx
+            esc |= (c >= 0) & (c <= ww_c - 1) & ((c < lo_b) | (c >= hi_b))
+        esc &= (y4 > -1.0) & (y4 < hh_c) & (w4 > 0)
+        esc_t = esc.astype(jnp.float32).reshape(bh, n_tiles * bq, lp)
+        w_esc = jnp.concatenate(
+            [_tile_inv(esc_t[:, pos_L[L]:pos_L[L] + npad_L[L]],
+                       *spatial_shapes[L], *tiles[L]) if tiles[L]
+             else jnp.zeros((bh, sizes_q[L], lp), jnp.float32)
+             for L in range(n_levels)], axis=1)
+        w_esc = w_esc.reshape(b, h, q, n_levels, n_points) \
+            .transpose(0, 2, 1, 3, 4)
+        co = _ms_deform_attn_pallas_fused(
+            value, spatial_shapes, sampling_locations,
+            attention_weights.astype(jnp.float32) * w_esc,
+            interpret=interpret)
+        return co.reshape(b, q, h, d).transpose(0, 2, 1, 3) \
+            .reshape(bh, q, d).astype(jnp.bfloat16)
+
+    out = out + jax.lax.cond(
+        jnp.sum(esc_cnt) > 0, _corr,
+        lambda _: jnp.zeros((bh, q, d), jnp.bfloat16), None)
+
+    return out.reshape(b, h, q, d).transpose(0, 2, 1, 3) \
+        .reshape(b, q, h * d).astype(value.dtype)

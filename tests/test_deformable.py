@@ -94,3 +94,42 @@ def test_pallas_fused_v3_matches_oracle_interpret(rng):
             jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(wts),
             block_q=8, interpret=True, kernel_version=kv)
         np.testing.assert_allclose(np.asarray(out), ref, atol=0.05, rtol=0.05)
+
+
+def test_pallas_tiled_matches_oracle_interpret(rng):
+    """Tiled-window kernel (v5) vs the numpy oracle, interpret mode.
+
+    Shapes trigger the full plan: level-0 windowed (ww>48), level-0/1
+    queries tiled, levels 2-3 through the dense tail path.  Two offset
+    regimes: small (pure windowed path) and huge (escape correction)."""
+    from inklayer_tpu.ops.deformable import (_ms_deform_attn_pallas_tiled,
+                                             _tiled_plan)
+
+    b, heads, d = 1, 2, 8
+    shapes = ((64, 64), (32, 32), (16, 16), (8, 8))
+    assert _tiled_plan(shapes) is not None
+    n_tokens = sum(h * w for h, w in shapes)
+    lq, n_points = n_tokens, 2
+
+    # reference points = raster centers per level (encoder layout)
+    refs = []
+    for hh, ww in shapes:
+        yy, xx = np.meshgrid(np.arange(hh), np.arange(ww), indexing="ij")
+        refs.append(np.stack([(xx.ravel() + 0.5) / ww,
+                              (yy.ravel() + 0.5) / hh], -1))
+    ref = np.concatenate(refs, 0)  # (lq, 2)
+
+    value = rng.standard_normal((b, n_tokens, heads, d)).astype(np.float32)
+    wts = rng.random((b, lq, heads, len(shapes), n_points)).astype(np.float32)
+    wts /= wts.sum(axis=(-1, -2), keepdims=True)
+
+    for scale in (0.03, 0.6):  # ~2px offsets vs escape-forcing offsets
+        offs = rng.uniform(-scale, scale,
+                           (b, lq, heads, len(shapes), n_points, 2))
+        locs = (ref[None, :, None, None, None, :] + offs).astype(np.float32)
+        out = _ms_deform_attn_pallas_tiled(
+            jnp.asarray(value).astype(jnp.bfloat16), shapes,
+            jnp.asarray(locs), jnp.asarray(wts), interpret=True)
+        ref_out = ms_deform_attn_ref(value, shapes, locs, wts)
+        np.testing.assert_allclose(np.asarray(out, np.float32), ref_out,
+                                   atol=0.03, rtol=0.05)
