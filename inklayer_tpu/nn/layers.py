@@ -106,7 +106,10 @@ class LayerNorm(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (c,))
             x2 = x.reshape(-1, c)
             r2 = residual.reshape(-1, c)
-            if (jax.default_backend() == "tpu" and c % 128 == 0
+            # full-C blocks are legal for any lane width (the block equals
+            # the array dim); sub-128 C (Swin stages: 96/192) still beats
+            # XLA's split convert+reduce fusions by ~4x
+            if (jax.default_backend() == "tpu" and c % 8 == 0
                     and x2.shape[0] >= 512):
                 from inklayer_tpu.ops.norm import layernorm_residual_2d
 
@@ -128,7 +131,7 @@ class LayerNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        if (jax.default_backend() == "tpu" and c % 128 == 0
+        if (jax.default_backend() == "tpu" and c % 8 == 0
                 and x.shape[0] >= 512):
             # Pallas one-pass LN: XLA's convert+reduce splits run ~20x off
             # the HBM roofline when custom calls elsewhere perturb layouts
