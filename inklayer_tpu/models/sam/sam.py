@@ -201,6 +201,16 @@ class SamPredictor:
     def _postprocess_device_state(self, state: dict, low_res_logits):
         c = self.cfg
         n = low_res_logits.shape[0]
+        if jax.default_backend() == "tpu":
+            # same linear map on the MXU (ops/image.py resize_batch_matmul);
+            # the gather-based resize lowering cost ~19ms for 64 masks
+            from inklayer_tpu.ops.image import resize_batch_matmul
+            up = resize_batch_matmul(
+                low_res_logits, (c.image_size, c.image_size))
+            ih, iw = state["input_hw"]
+            up = up[:, :ih, :iw]
+            oh, ow = state["orig_hw"]
+            return resize_batch_matmul(up, (oh, ow))
         up = jax.image.resize(
             low_res_logits, (n, c.image_size, c.image_size), method="bilinear")
         ih, iw = state["input_hw"]

@@ -84,11 +84,48 @@ def binary_erode(mask: jax.Array, se: np.ndarray) -> jax.Array:
     return _conv_counts(mask, se, border=1.0) > float(se.sum()) - 0.5
 
 
+def _dilate_rect_chan(x: jax.Array, kh: int, kw: int) -> jax.Array:
+    """x: (1, H, W, N) bool; rect dilation via depthwise separable convs with
+    the batch packed into CHANNELS — C=1 convs tile terribly on TPU
+    (measured 15.6 -> 6.9 ms for a 64x750^2 close with k=19 on v5e).
+    The any-nonzero threshold is immune to TPU conv rounding."""
+    n = x.shape[-1]
+    kcol = jnp.ones((kh, 1, 1, n), jnp.float32)
+    krow = jnp.ones((1, kw, 1, n), jnp.float32)
+    y = jnp.pad(x.astype(jnp.float32),
+                ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        y, kcol, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=n)
+    y = jax.lax.conv_general_dilated(
+        y, krow, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=n)
+    return y > 0.5
+
+
+def _rect_chan_path(mask: jax.Array, se: np.ndarray) -> bool:
+    return (jax.default_backend() == "tpu" and _is_rect(se)
+            and mask.ndim == 3 and mask.shape[0] > 1 and min(se.shape) > 3)
+
+
 def morph_close(mask: jax.Array, se: np.ndarray) -> jax.Array:
+    if _rect_chan_path(mask, se):
+        kh, kw = se.shape
+        x = mask.astype(bool).transpose(1, 2, 0)[None]
+        d = _dilate_rect_chan(x, kh, kw)
+        # erode(y) = ~dilate(~y); ~y's zero border = erode's 1-border
+        e = ~_dilate_rect_chan(~d, kh, kw)
+        return e[0].transpose(2, 0, 1)
     return binary_erode(binary_dilate(mask, se), se)
 
 
 def morph_open(mask: jax.Array, se: np.ndarray) -> jax.Array:
+    if _rect_chan_path(mask, se):
+        kh, kw = se.shape
+        x = mask.astype(bool).transpose(1, 2, 0)[None]
+        e = ~_dilate_rect_chan(~x, kh, kw)
+        d = _dilate_rect_chan(e, kh, kw)
+        return d[0].transpose(2, 0, 1)
     return binary_dilate(binary_erode(mask, se), se)
 
 

@@ -75,3 +75,13 @@ try:
         print(f"  {k:24s} {v / 3 * 1e3:8.1f} ms")
 finally:
     shutil.rmtree(out, ignore_errors=True)
+
+# --- device trace of one warm run (run with PROFILE_TRACE=1) ---------------
+if os.environ.get("PROFILE_TRACE"):
+    import jax
+    out2 = tempfile.mkdtemp(prefix="inklayer_prof_trace_")
+    with jax.profiler.trace("/tmp/pipe_trace"):
+        pipe.run(DATA, out2, no_intermediate=True)
+        pipe.drain()
+    shutil.rmtree(out2, ignore_errors=True)
+    print("trace written to /tmp/pipe_trace")

@@ -66,3 +66,19 @@ def test_wordpiece_vocab_file(tmp_path):
     tok = WordPieceTokenizer(str(path))
     ids = tok.encode("rocketship.")
     assert ids == [2, 4, 5, 6, 3]  # [CLS] rocket ##ship . [SEP]
+
+
+def test_resize_batch_matmul_matches_jax_image():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from inklayer_tpu.ops.image import resize_batch_matmul
+
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(3, 37, 53), jnp.float32)
+    for out_hw in ((74, 106), (128, 96), (25, 31)):  # up, mixed, down
+        a = resize_batch_matmul(x, out_hw)
+        b = jax.image.resize(x, (3,) + out_hw, method="bilinear")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
