@@ -518,7 +518,13 @@ _TILE_Q = 400  # queries per tile = ty*tx (50x8 at standard GDINO shapes)
 
 
 def _nwb(ww):
-    """Window size in 16-col blocks for a windowed level."""
+    """Window size in 16-col blocks for a windowed level.
+
+    Measured null (do not retry): narrowing the wide-level window to 2
+    blocks (48 -> 32 cols) REGRESSES the layer 8.5 -> 16.4 ms on-chip
+    (ablate_deform_tiled.py A/B, 2026-08-19) — the tighter margin trips
+    the exact dense escape correction every call, which re-runs the full
+    fused kernel under lax.cond on top of the tiled pass."""
     return 3 if ww > 64 else 2
 
 
