@@ -196,33 +196,68 @@ class Attention(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
     def _fused_window_spatial(self, x):
-        """Partition-free windowed attention: x is the zero-padded spatial
-        LN output (B, Hp, Wp, C) with Hp % win == 0.  The qkv dense runs on
-        the padded map (pad tokens become bias vectors — exactly the
-        reference's window_partition-then-linear semantics), and the Pallas
-        kernel addresses each window by BlockSpec indexing; the
-        window_partition/unpartition transpose copies never exist."""
-        from inklayer_tpu.ops.attention import sam_window_block_attention
+        """Partition-free windowed attention: x is the UNPADDED spatial LN
+        output (B, H, W, C).  The Pallas kernel addresses each window of the
+        zero-padded map by BlockSpec indexing, so the window_partition/
+        unpartition transpose copies never exist.
+
+        TPU-economy layout of the surrounding matmuls (round-2 profile):
+          * the spatial map is padded in the ROW direction only (cheap,
+            1280-wide); a column-padded qkv map never exists — the kernel
+            synthesises the last window's overhang columns in VMEM from the
+            dense bias + rel bias folds (materialising a 70x72x3840 padded
+            map costs ~2 ms/fwd however XLA expresses it — pad, or
+            broadcast + dynamic-update-slice — all profiled 2026-08-19);
+          * the qkv dense runs on the row-padded token stream (7.7% pad-row
+            tax instead of the 23% full-pad tax on the encoder's
+            second-biggest matmul).  Zero pad rows produce qkv = bias
+            THROUGH the dense itself — exactly the reference's
+            window_partition-then-linear pad semantics (segment-anything
+            image_encoder.py:166-182), so rows need no fixup anywhere;
+          * the decomposed rel-pos q-terms are computed from the row-padded
+            x with the rel tables folded into the q projection
+            (window_rel_terms_from_x) rather than from the qkv output (an
+            N=14-lane einsum XLA tiles poorly);
+          * the attention output is cropped back to (H, W) BEFORE the proj
+            dense (a prefix-row slice — near-free) removing the same pad
+            tax from the proj matmul."""
+        from inklayer_tpu.nn.layers import _DenseParams
+        from inklayer_tpu.ops.attention import (sam_window_block_attention,
+                                                window_rel_terms_from_x)
 
         win = self.input_size[0]
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
-        qkv_raw = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
-                           dtype=self.dtype, name="qkv")(x)
+        b, h, w, c = x.shape
+        hp = -(-h // win) * win
+        gw = -(-w // win)
+        # win >= 8 keeps the row bands sublane-friendly (every band starts
+        # on an 8-row boundary only when win % 8 == 0; win=14 bands are
+        # still fine — the DMA engine handles 14-row blocks, profiled)
+        assert win >= 8, win
+        x = x.astype(self.dtype)
+        if hp != h:
+            x = jnp.pad(x, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+        wqkv, bqkv = _DenseParams(self.dim * 3, name="qkv")(self.dim)
+        if not self.qkv_bias:
+            bqkv = jnp.zeros_like(bqkv)
+        qkv_sp = (jnp.dot(x.reshape(b, hp * w, c), wqkv.astype(self.dtype))
+                  + bqkv.astype(self.dtype)).reshape(b, hp, w, 3 * self.dim)
         rel_pos_h = self.param(
             "rel_pos_h", nn.initializers.zeros, (2 * win - 1, head_dim))
         rel_pos_w = self.param(
             "rel_pos_w", nn.initializers.zeros, (2 * win - 1, head_dim))
         tab_h = _gather_rel_pos(rel_pos_h, win, win)  # (win, win, hd)
         tab_w = _gather_rel_pos(rel_pos_w, win, win)
-        # buffer width may be sublane-padded past the last window (Block
-        # pads to a multiple of 8); win >= 8 guarantees floor(Wp/win) still
-        # equals the valid window count
-        assert win >= 8, win
+        rel_h, rel_w, b_rh, b_rw = window_rel_terms_from_x(
+            x, wqkv[:, : self.dim], bqkv[: self.dim],
+            tab_h, tab_w, win=win, heads=self.num_heads, head_dim=head_dim)
         out = sam_window_block_attention(
-            qkv_raw, tab_h.astype(self.dtype), tab_w.astype(self.dtype),
+            qkv_sp, tab_h.astype(self.dtype), tab_w.astype(self.dtype),
             scale=scale, win=win, heads=self.num_heads, head_dim=head_dim,
-            gw=x.shape[2] // win)
+            gw=gw, rel_h=rel_h, rel_w=rel_w, bias=bqkv.astype(self.dtype),
+            rel_bias_h=b_rh, rel_bias_w=b_rw, valid_w=w)
+        out = out[:, :h]
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
     def _fused_window(self, qkv_raw, h, w, head_dim, scale):
@@ -347,26 +382,16 @@ class Block(nn.Module):
             and self.window_size * self.window_size >= 64
             and self.dim // self.num_heads <= 128)
         if fused_window:
-            # partition-free path: zero-pad the LN output spatially and let
-            # the Pallas kernel's BlockSpec address each window (pad tokens
-            # turn into qkv-bias vectors inside the dense, reproducing
+            # partition-free path: the Attention module pads/crops the
+            # spatial map internally (qkv runs on the unpadded token stream;
+            # pad tokens become qkv-bias vectors, reproducing
             # window_partition + linear)
-            win = self.window_size
-            hp = (h + win - 1) // win * win
-            wp = (w + win - 1) // win * win
-            # sublane-align the buffer width: 70 leaves every spatial row
-            # off the (8, 128) tile grid, taxing the pad fusion, the qkv
-            # dense and the kernel band DMAs (profiled 2026-08-19); the
-            # window grid still covers only gw*win columns
-            wp_buf = (wp + 7) // 8 * 8
-            if (hp, wp_buf) != (h, w):
-                y = jnp.pad(y, ((0, 0), (0, hp - h), (0, wp_buf - w), (0, 0)))
             y = Attention(
                 dim=self.dim, num_heads=self.num_heads,
-                input_size=(win, win), use_rel_pos=self.use_rel_pos,
+                input_size=(self.window_size, self.window_size),
+                use_rel_pos=self.use_rel_pos,
                 use_flash=self.use_flash, dtype=self.dtype,
                 fused_window=True, name="attn")(y)
-            y = y[:, :h, :w]
         elif self.window_size > 0:
             y, padded_hw = window_partition(y, self.window_size)
             y = Attention(

@@ -466,17 +466,30 @@ def sam_window_attention(
     )(qkv, rel_h, rel_w)
 
 
-def _window_block_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,
-                         win: int, gw: int, heads: int, head_dim: int):
+def _window_block_kernel(qkv_ref, rh_ref, rw_ref, b_ref, brh_ref, brw_ref,
+                         o_ref, *, scale: float, win: int, gw: int,
+                         heads: int, head_dim: int, valid_w: int):
     """Partition-free SAM windowed attention: one program per ROW BAND of
     `gw` windows, read straight out of the padded (Hp, Wp, 3C) qkv map via
     BlockSpec indexing — no window_partition/unpartition copies exist in the
     graph.  rh_ref/rw_ref carry the decomposed rel-pos terms (q . table) in
-    the same padded spatial layout, head-blocked along lanes."""
+    the same padded spatial layout, head-blocked along lanes.
+
+    valid_w > 0: the buffer is only valid_w columns wide (< gw*win) — the
+    map is NOT column-padded, so the (64x64, win=14) SAM grid never
+    materialises a padded qkv map in HBM (a 70x72x3840 pad/scatter costs
+    ~2 ms/fwd however XLA expresses it, profiled 2026-08-19).  The last
+    window's overhang columns are synthesised IN VMEM: their qkv is the
+    dense bias b_ref (window_partition zero-pads x, then linear -> pad
+    tokens carry exactly the bias; they matter as keys inside edge
+    windows), and their rel terms are the bias folds brh_ref (by window
+    row, constant across the overhang) / brw_ref (by window column).
+    Row padding needs no fixup anywhere: zero x rows already produce
+    bias qkv and bias-fold rel through the dense itself."""
     n = win * win
     c = heads * head_dim
-    band = qkv_ref[0]  # (win, gw*win, 3C)
-    rh_band = rh_ref[0]  # (win, gw*win, heads*win)
+    band = qkv_ref[0]  # (win, Wc, 3C)
+    rh_band = rh_ref[0]  # (win, Wc, heads*win)
     rw_band = rw_ref[0]
     colx = jax.lax.broadcasted_iota(jnp.int32, (n, win), 0)
     rowx = jax.lax.broadcasted_iota(jnp.int32, (n, win), 1)
@@ -486,14 +499,33 @@ def _window_block_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,
         # window tokens (n, 3C): rows of the (win, win, 3C) slab stacked
         # along sublanes by concatenation (Mosaic-supported; a plain
         # (win, win, 3C) -> (n, 3C) reshape is not)
-        qkv = jnp.concatenate(
-            [band[r, j * win:(j + 1) * win, :] for r in range(win)], axis=0)
-        rh_all = jnp.concatenate(
-            [rh_band[r, j * win:(j + 1) * win, :] for r in range(win)],
-            axis=0)  # (n, heads*win)
-        rw_all = jnp.concatenate(
-            [rw_band[r, j * win:(j + 1) * win, :] for r in range(win)],
-            axis=0)
+        j0 = j * win
+        over = max(0, (j + 1) * win - valid_w) if valid_w > 0 else 0
+        wv = win - over
+        if over == 0:
+            qkv = jnp.concatenate(
+                [band[r, j0:j0 + win, :] for r in range(win)], axis=0)
+            rh_all = jnp.concatenate(
+                [rh_band[r, j0:j0 + win, :] for r in range(win)],
+                axis=0)  # (n, heads*win)
+            rw_all = jnp.concatenate(
+                [rw_band[r, j0:j0 + win, :] for r in range(win)], axis=0)
+        else:
+            bias_tile = jnp.broadcast_to(b_ref[...], (over, 3 * c)
+                                         ).astype(band.dtype)
+            brw_tile = brw_ref[wv:win, :].astype(band.dtype)  # (over, hw)
+            qkv = jnp.concatenate(
+                [p for r in range(win)
+                 for p in (band[r, j0:j0 + wv, :], bias_tile)], axis=0)
+            rh_all = jnp.concatenate(
+                [p for r in range(win)
+                 for p in (rh_band[r, j0:j0 + wv, :],
+                           jnp.broadcast_to(brh_ref[r:r + 1, :],
+                                            (over, heads * win)
+                                            ).astype(band.dtype))], axis=0)
+            rw_all = jnp.concatenate(
+                [p for r in range(win)
+                 for p in (rw_band[r, j0:j0 + wv, :], brw_tile)], axis=0)
         outs = []
         for h in range(heads):
             q = qkv[:, h * head_dim:(h + 1) * head_dim]
@@ -521,12 +553,12 @@ def _window_block_kernel(qkv_ref, rh_ref, rw_ref, o_ref, *, scale: float,
             outs.append((o / l).astype(o_ref.dtype))
         o_win = jnp.concatenate(outs, axis=1)  # (n, C)
         for r in range(win):
-            o_ref[0, r, j * win:(j + 1) * win, :] = \
-                o_win[r * win:(r + 1) * win, :]
+            o_ref[0, r, j0:j0 + wv, :] = o_win[r * win:r * win + wv, :]
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "win", "heads",
-                                             "head_dim", "gw", "interpret"))
+                                             "head_dim", "gw", "interpret",
+                                             "valid_w"))
 def sam_window_block_attention(
     qkv_sp: jax.Array,  # (B, Hp, Wp, 3*heads*head_dim), Hp % win == 0
     tab_h: jax.Array,   # (win, win, head_dim) gathered rel_pos_h table
@@ -538,38 +570,66 @@ def sam_window_block_attention(
     head_dim: int,
     gw: int = 0,
     interpret: bool = False,
+    rel_h: Optional[jax.Array] = None,  # (B, Hp, Wp, heads*win) precomputed
+    rel_w: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,   # (3C,) qkv bias for overhang fixup
+    rel_bias_h: Optional[jax.Array] = None,  # (win, heads*win) bias folds
+    rel_bias_w: Optional[jax.Array] = None,
+    valid_w: int = 0,  # >0: buffer is valid_w cols wide, the last window's
+    # overhang columns are synthesised in-kernel from bias/rel_bias_*
 ) -> jax.Array:
-    """Windowed SAM attention over the padded spatial qkv map, windows
-    addressed by BlockSpec indexing (no partition copies).  Pad tokens carry
-    qkv = dense bias (the caller zero-pads the LN output BEFORE the qkv
-    dense), reproducing the reference's window_partition + linear semantics
+    """Windowed SAM attention over the spatial qkv map, windows addressed by
+    BlockSpec indexing (no partition copies).  Pad tokens carry qkv = dense
+    bias, reproducing the reference's window_partition + linear semantics
     (segment-anything image_encoder.py:166-182).  Returns (B, Hp, Wp, C).
 
-    Wp may exceed gw*win (sublane alignment: a 70-wide buffer puts every
-    spatial row off the (8, 128) tile grid, taxing the pad fusion, the qkv
-    dense and the kernel's band DMAs — the caller pads to 72 and passes
-    gw=5; the extra columns are never read by any window).  gw=0 derives
-    gw = Wp // win."""
+    Two geometries:
+      * valid_w == 0 (legacy/tests): the map is column-padded to >= gw*win
+        and pad tokens already carry bias qkv (the caller zero-padded the
+        LN output BEFORE the qkv dense).  Wp may exceed gw*win (sublane
+        alignment); the extra columns are never read.  gw=0 derives
+        gw = Wp // win.
+      * valid_w > 0 (production): the map is NOT column-padded
+        (Wp == valid_w < gw*win); the last window's overhang columns are
+        synthesised in VMEM from `bias` and the `rel_bias_*` folds — the
+        padded qkv map never exists in HBM (~2 ms/fwd however XLA
+        materialises it, profiled 2026-08-19).  Row padding is still the
+        caller's (cheap, 1280-wide, and zero x rows produce bias qkv
+        through the dense automatically)."""
     b, hp, wp, c3 = qkv_sp.shape
     assert hp % win == 0
     c = heads * head_dim
     assert c3 == 3 * c
     if gw == 0:
         gw = wp // win
-    assert gw * win <= wp
-    # decomposed rel-pos terms from UNSCALED q in the padded spatial layout
-    # (the per-window row/col index is I % win / J % win -> tables tiled;
-    # tiles rounded up to cover alignment columns past the last window —
-    # those rel values are garbage but no window reads them)
-    qg = qkv_sp[..., :c].reshape(b, hp, wp, heads, head_dim)
-    th_exp = jnp.tile(tab_h, (hp // win, 1, 1)).astype(qkv_sp.dtype)
-    tw_exp = jnp.tile(tab_w, (-(-wp // win), 1, 1))[:wp].astype(qkv_sp.dtype)
-    rel_h = jnp.einsum("bIJhc,Ikc->bIJhk", qg, th_exp).reshape(
-        b, hp, wp, heads * win)
-    rel_w = jnp.einsum("bIJhc,Jkc->bIJhk", qg, tw_exp).reshape(
-        b, hp, wp, heads * win)
+    if valid_w > 0:
+        assert valid_w == wp and gw * win >= valid_w, (valid_w, wp, gw)
+        assert rel_h is not None and rel_bias_h is not None
+    else:
+        assert gw * win <= wp
+    if rel_h is None:
+        # decomposed rel-pos terms from UNSCALED q in the padded spatial
+        # layout (the per-window row/col index is I % win / J % win ->
+        # tables tiled; tiles rounded up to cover alignment columns past the
+        # last window — those rel values are garbage but no window reads
+        # them).  The production encoder path precomputes these instead via
+        # window_rel_terms_from_x (rel tables folded into the q projection).
+        qg = qkv_sp[..., :c].reshape(b, hp, wp, heads, head_dim)
+        th_exp = jnp.tile(tab_h, (hp // win, 1, 1)).astype(qkv_sp.dtype)
+        tw_exp = jnp.tile(tab_w, (-(-wp // win), 1, 1))[:wp].astype(
+            qkv_sp.dtype)
+        rel_h = jnp.einsum("bIJhc,Ikc->bIJhk", qg, th_exp).reshape(
+            b, hp, wp, heads * win)
+        rel_w = jnp.einsum("bIJhc,Jkc->bIJhk", qg, tw_exp).reshape(
+            b, hp, wp, heads * win)
+    if bias is None:
+        bias = jnp.zeros((c3,), qkv_sp.dtype)
+    if rel_bias_h is None:
+        rel_bias_h = jnp.zeros((win, heads * win), qkv_sp.dtype)
+        rel_bias_w = jnp.zeros((win, heads * win), qkv_sp.dtype)
     kernel = functools.partial(_window_block_kernel, scale=scale, win=win,
-                               gw=gw, heads=heads, head_dim=head_dim)
+                               gw=gw, heads=heads, head_dim=head_dim,
+                               valid_w=valid_w)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), qkv_sp.dtype),
@@ -583,13 +643,82 @@ def sam_window_block_attention(
             pl.BlockSpec((1, win, wp, heads * win),
                          lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c3), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, heads * win), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, heads * win), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, win, wp, c), lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         **({} if interpret else {"compiler_params": pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2 ** 20)}),
-    )(qkv_sp, rel_h, rel_w)
+    )(qkv_sp, rel_h, rel_w, bias.reshape(1, c3), rel_bias_h, rel_bias_w)
+
+
+def window_rel_terms_from_x(
+    x_sp: jax.Array,   # (B, Hp, Wp_buf, C) padded LN output, Hp % win == 0
+    wq: jax.Array,     # (C, heads*head_dim) q-projection weight (fp32 params)
+    bq: jax.Array,     # (heads*head_dim,) q-projection bias
+    tab_h: jax.Array,  # (win, win, head_dim) gathered rel_pos_h table (fp32)
+    tab_w: jax.Array,
+    *,
+    win: int,
+    heads: int,
+    head_dim: int,
+) -> tuple:
+    """Decomposed rel-pos q-terms computed straight from the LN output.
+
+    rel_h[t, k] = q[t] . tab_h[r_t, k] with q = x @ Wq + bq and r_t the
+    token's row inside its window.  Folding the table into the projection —
+    W_rh[r] = Wq_head @ tab_h[r]^T, done in fp32 at negligible cost
+    (~0.65 GFLOP/table) — turns the per-token rel einsum over the qkv dense
+    OUTPUT (an N=14-lane batched matmul XLA tiles poorly, part of the
+    ~5.6 ms/fwd glue in the round-2 profile) into win-batched fat matmuls
+    over x with N = heads*win = 224 lanes.  Exact up to bf16 rounding:
+    (x@Wq+bq)@tab == x@(Wq@tab) + bq@tab.
+
+    r_t is constant along each spatial row (r = I % win) and c_t along each
+    column (c = J % win), so grouping rows / columns by residue makes the
+    folded weight a clean batch dimension.  Returns
+    (rel_h, rel_w, b_rh, b_rw): the per-token terms, each
+    (B, Hp, Wp_buf, heads*win), plus the (win, heads*win) bias folds
+    bq @ tab — the rel values a pad token (zero x) carries; the window
+    kernel uses them to synthesise overhang columns it never reads from
+    HBM.
+    """
+    b, hp, wp, cin = x_sp.shape
+    dt = x_sp.dtype
+    wq3 = wq.reshape(cin, heads, head_dim)
+    bq2 = bq.reshape(heads, head_dim)
+    # fp32 folds (tiny); cast folded weights once for the wide matmuls
+    w_rh = jnp.einsum("chd,rkd->rchk", wq3, tab_h).reshape(
+        win, cin, heads * win).astype(dt)
+    b_rh = jnp.einsum("hd,rkd->rhk", bq2, tab_h).reshape(
+        win, heads * win).astype(dt)
+    w_rw = jnp.einsum("chd,jkd->jchk", wq3, tab_w).reshape(
+        win, cin, heads * win).astype(dt)
+    b_rw = jnp.einsum("hd,jkd->jhk", bq2, tab_w).reshape(
+        win, heads * win).astype(dt)
+    xg = x_sp.reshape(b, hp // win, win, wp, cin)
+    rel_h = jnp.einsum("bIrJc,rck->bIrJk", xg, w_rh) \
+        + b_rh[None, None, :, None, :]
+    rel_h = rel_h.reshape(b, hp, wp, heads * win)
+    # rel_w groups columns by residue, which needs a win-multiple width.
+    # Slicing the buffer to gw*win first makes the einsum input sublane-
+    # misaligned (wp is 8-aligned, gw*win generally is not — measured
+    # 0.07 ms/layer vs the 0.015 ms matmul bound); instead pad UP to the
+    # next win multiple, compute, and slice the 8-aligned buffer width back.
+    wq_cols = -(-wp // win) * win
+    xw = x_sp if wq_cols == wp else jnp.pad(
+        x_sp, ((0, 0), (0, 0), (0, wq_cols - wp), (0, 0)))
+    xw = xw.reshape(b, hp, wq_cols // win, win, cin)
+    rel_w = jnp.einsum("bIgjc,jck->bIgjk", xw, w_rw) \
+        + b_rw[None, None, None, :, :]
+    rel_w = rel_w.reshape(b, hp, wq_cols, heads * win)[:, :, :wp]
+    return rel_h, rel_w, b_rh, b_rw
 
 
 def _on_tpu() -> bool:

@@ -5,15 +5,16 @@ goes: rel-pos bias construction, windowed-vs-global structure, attention
 path.  Timing protocol per the axon-tunnel rules: args passed through jit,
 completion forced with a jitted scalar readback, p50 over N iters.
 
-State 2026-08-19 (round 2 end): 77 ms wall = 50.4 ms device + ~27 ms tunnel
-RTT -> 62% device MFU.  Device budget per fwd (profile_sam.py --depth 32):
-  mlp_gelu 19.7 (Pallas fused, 89% of its 17.4 roofline)
-  qkv dense 8.1 (96% MFU over the 4900-token padded map)
-  window kernel 7.6 (0.27/block; small-matmul issue floor ~0.15)
-  global kernel 5.1 (1.28/block; aug-matmul 0.53 + ~0.6 fp32 softmax VPU)
-  LN pairs 2.1 | pad/reshape/rel glue ~5.6 | patch+neck ~1.2
+State 2026-08-19 (row-pad-free window path): 49.2 ms device -> ~64% device
+MFU.  Device budget per fwd (profile_sam.py --depth 32):
+  mlp_gelu 19.8 (Pallas fused, 89% of its 17.4 roofline)
+  qkv+rel fusions 7.3 (row-padded 4480-token map; was 8.1 on the 4900 pad)
+  window kernel 6.95 (0.25/block; small-matmul issue floor ~0.15)
+  global kernel 5.0 (1.25/block; aug-matmul 0.53 + fp32 softmax tail)
+  LN pairs 2.1 | conv patch+neck 2.3 | copy/reshape/pad glue ~5.0
 Nulls (measured, do not retry): Wp 70->72 sublane alignment; prebuilt-aug
-global kernel v2 (kept: simpler); bf16/exp2 softmax in window kernel;
+global kernel v2 (kept: simpler); bf16/exp2 softmax in window kernel AND
+in the global kernel (~5% of the kernel — see ablate_global_softmax.py);
 take_along_axis rel gather; per-head flash fold (layout copies).
 """
 

@@ -243,3 +243,44 @@ def test_sam_window_block_attention_matches_partitioned_kernel(rng):
         head_dim=hd, gw=gw, interpret=True)
     np.testing.assert_allclose(np.asarray(got_pad[:, :, :wp]),
                                np.asarray(got_sp), atol=1e-5, rtol=1e-5)
+
+
+def test_fused_window_spatial_matches_partitioned_fallback(rng, monkeypatch):
+    """The production spatial window path (unpadded-token qkv, bias-filled
+    pad scatter, rel terms folded into the q projection, BlockSpec-addressed
+    kernel in interpret mode) vs window_partition + the CPU aug-matmul
+    Attention on the SAME parameter tree, on a non-multiple spatial grid."""
+    import sys
+
+    import inklayer_tpu.ops.attention  # noqa: F401 (ensure loaded)
+    from inklayer_tpu.models.sam import image_encoder as ie
+    from inklayer_tpu.nn.layers import window_partition, window_unpartition
+    A = sys.modules["inklayer_tpu.ops.attention"]
+
+    win, heads, c = 14, 2, 32
+    real = A.sam_window_block_attention
+    monkeypatch.setattr(
+        A, "sam_window_block_attention",
+        lambda *a, **k: real(*a, **{**k, "interpret": True}))
+    attn_fused = ie.Attention(dim=c, num_heads=heads, input_size=(win, win),
+                              use_rel_pos=True, use_flash=True,
+                              fused_window=True)
+    x = _rand(rng, 1, 20, 30, c)  # pads to (28, 42), buffer width 48
+    params = attn_fused.init(jax.random.key(0), x)
+    params = jax.tree.map(
+        lambda a: jnp.asarray(rng.standard_normal(a.shape), a.dtype) * 0.1,
+        params)
+
+    # reference on the same params: zero-pad + partition + plain Attention
+    # (CPU sdpa aug-matmul path) + unpartition + crop
+    attn_ref = ie.Attention(dim=c, num_heads=heads, input_size=(win, win),
+                            use_rel_pos=True, use_flash=True)
+    xw, padded_hw = window_partition(x, win)
+    ref = attn_ref.apply(params, xw)
+    ref = window_unpartition(ref, win, padded_hw, (20, 30))
+
+    monkeypatch.setattr(ie.jax, "default_backend", lambda: "tpu")
+    out = attn_fused.apply(params, x)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-3, rtol=1e-2)
