@@ -158,6 +158,7 @@ class InkLayerPipeline:
         self._sam_state_cache: dict = {}
         self._img_cache: dict = {}
         self._depth_cache: dict = {}
+        self._host_cache: dict = {}  # path -> (rgb ndarray, gray ndarray)
 
     def enable_batched_encoder(self, batch_buckets=(1, 2, 4),
                                max_wait_ms: float = 10.0):
@@ -229,36 +230,61 @@ class InkLayerPipeline:
                                            inpaint), paths))
                 return outs
             outs = []
-            for i, p in enumerate(paths):
-                # cross-stage device pipelining: enqueue the FULL device
-                # front of image i+1 (upload, detect incl. the device top-K
-                # boxes that chain into SAM decode, ViT-H encode, depth)
-                # while image i blocks on its first readback — run() invokes
-                # the hook right before that block, so i+1's front queues
-                # AFTER image i's own dispatches but fills the device during
-                # image i's host stalls
-                nxt = paths[i + 1] if i + 1 < len(paths) else None
+            # PNG decode (+grayscale) of image i+1 rides a dedicated thread
+            # while image i's device front executes; the dispatch hook below
+            # then only uploads + enqueues (decode is ~25 ms/750^2 of pure
+            # host time that otherwise sits on the serial path twice — the
+            # hook decoded it AND run() re-decoded it)
+            from concurrent.futures import ThreadPoolExecutor
 
-                def _prefetch(nxt=nxt):
-                    if nxt is None or nxt in self._det_cache:
-                        return
-                    img_next = np.asarray(Image.open(nxt).convert("RGB"))
-                    dev_next = upload_image(img_next)
-                    self._det_cache[nxt] = \
-                        self.detector.detect_dispatch_device(dev_next)
-                    self._sam_state_cache[nxt] = \
-                        self.sam.compute_image_state(dev_next)
-                    self._depth_cache[nxt] = \
-                        self.depth.infer_image_device(dev_next)
-                    self._img_cache[nxt] = dev_next
+            def _decode(q):
+                rgb = np.asarray(Image.open(q).convert("RGB"))
+                return rgb, _to_gray(rgb)
 
-                outs.append(self.run(p, out_base_dir, no_intermediate,
-                                     inpaint, _prefetch_hook=_prefetch))
+            with ThreadPoolExecutor(max_workers=1) as decode_pool:
+                dec_futs: dict = {}
+                if paths:
+                    dec_futs[paths[0]] = decode_pool.submit(_decode, paths[0])
+                for i, p in enumerate(paths):
+                    # cross-stage device pipelining: enqueue the FULL device
+                    # front of image i+1 (upload, detect incl. the device
+                    # top-K boxes that chain into SAM decode, ViT-H encode,
+                    # depth) while image i blocks on its first readback —
+                    # run() invokes the hook right before that block, so
+                    # i+1's front queues AFTER image i's own dispatches but
+                    # fills the device during image i's host stalls
+                    nxt = paths[i + 1] if i + 1 < len(paths) else None
+                    if nxt is not None and nxt not in dec_futs:
+                        dec_futs[nxt] = decode_pool.submit(_decode, nxt)
+
+                    def _prefetch(nxt=nxt):
+                        if nxt is None or nxt in self._det_cache:
+                            return
+                        fut = dec_futs.pop(nxt, None)
+                        img_next, gray_next = (fut.result() if fut is not None
+                                               else _decode(nxt))
+                        dev_next = upload_image(img_next)
+                        self._det_cache[nxt] = \
+                            self.detector.detect_dispatch_device(dev_next)
+                        self._sam_state_cache[nxt] = \
+                            self.sam.compute_image_state(dev_next)
+                        self._depth_cache[nxt] = \
+                            self.depth.infer_image_device(dev_next)
+                        self._img_cache[nxt] = dev_next
+                        self._host_cache[nxt] = (img_next, gray_next)
+
+                    if p in dec_futs:
+                        fut = dec_futs.pop(p)
+                        if p not in self._host_cache:
+                            self._host_cache[p] = fut.result()
+                    outs.append(self.run(p, out_base_dir, no_intermediate,
+                                         inpaint, _prefetch_hook=_prefetch))
         finally:
             self.drain()
             self.async_io = False
             self._det_cache, self._sam_state_cache = {}, {}
             self._img_cache, self._depth_cache = {}, {}
+            self._host_cache = {}
         return outs
 
     def _prefill_batches(self, paths, batch_size: int):
@@ -285,10 +311,15 @@ class InkLayerPipeline:
             _prefetch_hook=None) -> str:
         cfg = self.cfg
         input_name = os.path.basename(input_path).split(".")[0]
-        image_pil = Image.open(input_path).convert("RGB")
-        image = np.asarray(image_pil)
+        cached_host = self._host_cache.pop(input_path, None)
+        if cached_host is not None:  # run_dir lookahead decoded it already
+            image, gray = cached_host
+            image_pil = Image.fromarray(image)
+        else:
+            image_pil = Image.open(input_path).convert("RGB")
+            image = np.asarray(image_pil)
+            gray = _to_gray(image)
         h, w = image.shape[:2]
-        gray = _to_gray(image)
 
         out_dir = io_out.prepare_out_dir(out_base_dir, input_name)
 
@@ -469,12 +500,16 @@ class InkLayerPipeline:
             "kept_indices": [int(i) for i in kept],
             "threshold": cfg.refine.nms_iou,
         }
-        import json
-        with open(os.path.join(out_dir, "bboxes_final.json"), "w") as f:
-            json.dump(final_data, f, indent=4)
-        io_out.draw_boxes_image(image_pil, final_norm,
-                                final_data["scores"]).save(
-            os.path.join(out_dir, "bboxes_final.png"))
+        def write_final_bbox_outputs():
+            import json
+
+            with open(os.path.join(out_dir, "bboxes_final.json"), "w") as f:
+                json.dump(final_data, f, indent=4)
+            io_out.draw_boxes_image(image_pil, final_norm,
+                                    final_data["scores"]).save(
+                os.path.join(out_dir, "bboxes_final.png"))
+
+        self._submit(write_final_bbox_outputs)
 
         # ---- refinement --------------------------------------------------
         # (depth was dispatched up front; it stays on device — the
