@@ -237,14 +237,152 @@ def _pallas_fused_levels_kernel_v3(spatial_shapes, d: int, n_levels: int,
     return kern
 
 
+def _pallas_fused_allheads_kernel(spatial_shapes, d: int, h_heads: int,
+                                  n_levels: int, n_points: int, bq: int):
+    """v4: ALL heads per program.  The coords arrive in the Dense-native
+    flat (bq, heads*levels*points) lane layout — no host-side
+    (B,Q,H,..)->(B*H,Q,..) transposes exist anywhere (each one costs
+    ~1.2 ms at GDINO encoder shapes on v5e: 16-lane minor arrays tile
+    terribly) — and the head loop is unrolled in-kernel with static lane
+    offsets.  The per-level value tiles for ALL heads are VMEM-resident
+    across the whole q sweep (fetched once per batch element), and the
+    output block is the flat (bq, heads*d) layout the proj Dense consumes
+    directly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    lp = n_levels * n_points
+
+    def kern(y_ref, x_ref, w_ref, *refs):
+        v_refs = refs[:n_levels]
+        o_ref = refs[n_levels]
+        outs = []
+        for ih in range(h_heads):
+            acc = jnp.zeros((bq, d), jnp.float32)
+            for lvl, (hh, ww) in enumerate(spatial_shapes):
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, hh), 1).astype(jnp.float32)
+                cols = jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, ww), 1).astype(jnp.float32)
+                col_g = jax.lax.broadcasted_iota(jnp.int32, (d * ww, d), 1)
+                row_g = jax.lax.broadcasted_iota(jnp.int32, (d * ww, d), 0)
+                reduce = (row_g // ww == col_g).astype(jnp.bfloat16)
+                v = v_refs[lvl][ih]  # (hh, d*ww) bf16, w-minor
+                k0 = ih * lp + lvl * n_points
+                sys_, sxs = [], []
+                for p in range(n_points):
+                    yv = y_ref[:, k0 + p][:, None]
+                    xv = x_ref[:, k0 + p][:, None]
+                    wlp = w_ref[:, k0 + p][:, None]
+                    sys_.append(jnp.maximum(0.0, 1.0 - jnp.abs(yv - rows))
+                                .astype(jnp.bfloat16))
+                    sxs.append(jnp.maximum(0.0, 1.0 - jnp.abs(xv - cols))
+                               * wlp)
+                sy = jnp.concatenate(sys_, axis=0)  # (n_points*bq, hh)
+                sx = jnp.concatenate(sxs, axis=0)   # (n_points*bq, ww)
+                t = jnp.dot(sy, v, preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)  # (pbq, d*ww)
+                sx_exp = pltpu.repeat(sx.astype(jnp.bfloat16), d, axis=1)
+                r = jnp.dot(t * sx_exp, reduce,
+                            preferred_element_type=jnp.float32)  # (pbq, d)
+                for p in range(n_points):
+                    acc = acc + r[p * bq:(p + 1) * bq]
+            outs.append(acc)
+        o_ref[...] = jnp.concatenate(outs, axis=1)  # (bq, heads*d)
+
+    return kern
+
+
+def _ms_deform_attn_pallas_fused_v4(value, spatial_shapes,
+                                    sampling_locations, attention_weights,
+                                    block_q: int = 256,
+                                    interpret: bool = False):
+    """All-heads-per-program fused kernel (v4): transpose-free host layouts.
+
+    Returns (B, Q, heads*d) like the other impls."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, h, d = value.shape
+    q = sampling_locations.shape[1]
+    n_levels = sampling_locations.shape[3]
+    n_points = sampling_locations.shape[4]
+    lp = n_levels * n_points
+    bq = block_q
+    qp = ((q + bq - 1) // bq) * bq
+
+    # coords in Dense-native flat lanes: lane = head*lp + level*points + p
+    sizes_w = jnp.asarray([w_ for _, w_ in spatial_shapes], jnp.float32)
+    sizes_h = jnp.asarray([h_ for h_, _ in spatial_shapes], jnp.float32)
+    xy = sampling_locations.astype(jnp.float32)  # (B, Q, H, L, P, 2)
+    x = (xy[..., 0] * sizes_w[None, None, None, :, None] - 0.5
+         ).reshape(b, q, h * lp)
+    y = (xy[..., 1] * sizes_h[None, None, None, :, None] - 0.5
+         ).reshape(b, q, h * lp)
+    wl = attention_weights.astype(jnp.float32).reshape(b, q, h * lp)
+    pad = ((0, 0), (0, qp - q), (0, 0))
+    x = jnp.pad(x, pad)
+    y = jnp.pad(y, pad)
+    wl = jnp.pad(wl, pad)
+
+    # per-level value, all heads stacked: (B, heads, hh, d*ww) w-minor
+    vs = []
+    off = 0
+    for hh, ww in spatial_shapes:
+        v = value[:, off: off + hh * ww].astype(jnp.bfloat16)
+        off += hh * ww
+        vs.append(v.reshape(b, hh, ww, h, d).transpose(0, 3, 1, 4, 2)
+                  .reshape(b, h, hh, d * ww))
+
+    kern = _pallas_fused_allheads_kernel(spatial_shapes, d, h, n_levels,
+                                         n_points, bq)
+    params = {}
+    if not interpret:
+        try:
+            params["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2 ** 20)
+        except Exception:  # pragma: no cover - older pallas API
+            pass
+    o = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, qp, h * d), jnp.float32),
+        grid=(b, qp // bq),
+        **params,
+        in_specs=[
+            pl.BlockSpec((None, bq, h * lp), lambda ib, j: (ib, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bq, h * lp), lambda ib, j: (ib, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, bq, h * lp), lambda ib, j: (ib, j, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((None, h, hh, d * ww), lambda ib, j: (ib, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for hh, ww in spatial_shapes
+        ],
+        out_specs=pl.BlockSpec((None, bq, h * d), lambda ib, j: (ib, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(y, x, wl, *vs)
+    return o[:, :q].astype(value.dtype)
+
+
 def _ms_deform_attn_pallas_fused(value, spatial_shapes, sampling_locations,
                                  attention_weights, block_q: int = 256,
                                  interpret: bool = False,
                                  kernel_version: int = 3):
-    """Single-pallas_call variant: grid (b*heads, q-blocks), all levels and
-    points computed per program."""
+    """Single-pallas_call variant: all levels and points computed per
+    program.  kernel_version 3 (default) = per-head grid (b*heads,
+    q-blocks); 4 = all-heads-per-program with transpose-free host layouts
+    (verified exact on hardware at tiny shapes 2026-08-19; production
+    default stays 3 until the decoder-shape A/B lands — the remote compile
+    queue stalled two runs >10 min)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if kernel_version == 4:
+        return _ms_deform_attn_pallas_fused_v4(
+            value, spatial_shapes, sampling_locations, attention_weights,
+            block_q=block_q, interpret=interpret)
 
     b, n, h, d = value.shape
     q = sampling_locations.shape[1]

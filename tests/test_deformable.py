@@ -89,7 +89,7 @@ def test_pallas_fused_v3_matches_oracle_interpret(rng):
                        ).astype(np.float32)
     wts = rng.random((b, lq, heads, len(shapes), n_points)).astype(np.float32)
     ref = ms_deform_attn_ref(value, shapes, locs, wts)
-    for kv in (2, 3):
+    for kv in (2, 3, 4):
         out = _ms_deform_attn_pallas_fused(
             jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(wts),
             block_q=8, interpret=True, kernel_version=kv)
