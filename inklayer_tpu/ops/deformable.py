@@ -372,10 +372,16 @@ def _ms_deform_attn_pallas_fused(value, spatial_shapes, sampling_locations,
                                  kernel_version: int = 3):
     """Single-pallas_call variant: all levels and points computed per
     program.  kernel_version 3 (default) = per-head grid (b*heads,
-    q-blocks); 4 = all-heads-per-program with transpose-free host layouts
-    (verified exact on hardware at tiny shapes 2026-08-19; production
-    default stays 3 until the decoder-shape A/B lands — the remote compile
-    queue stalled two runs >10 min)."""
+    q-blocks); 4 = all-heads-per-program with transpose-free host layouts.
+
+    Measured null (do not retry): v4 LOSES at the production decoder shape
+    (Q=900, (800,800) bucket levels) — wall p50 26.9 vs 23.7 ms, min 24.0
+    vs 22.8, on v5e 2026-08-19.  With only 4 q-blocks the per-head grid
+    gives v3 32 programs of core parallelism vs v4's 4; the host-transpose
+    savings v4 was built for are proportional to Q and tiny at 900.  v4
+    also compiles 2.3x slower (1212 vs 531 s remote).  v4 could still pay
+    on a >=512-query raster path with many q-blocks, but that path is
+    served by the tiled kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
