@@ -204,6 +204,11 @@ def flash_attention(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
+        # whole-KV residency + the fp32 (bq, nk) logits block exceed the
+        # 16 MB default scoped-vmem at the SD UNet's 9216-token blocks
+        # (17.98 MB measured — full-config 768^2 compile, 2026-08-19)
+        **({} if interpret else {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20)}),
     )(*args)
     return out[:, :nq, :d]
 
