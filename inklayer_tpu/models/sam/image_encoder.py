@@ -103,8 +103,10 @@ class Attention(nn.Module):
         qkv_raw = nn.Dense(self.dim * 3, use_bias=self.qkv_bias,
                            dtype=self.dtype, name="qkv")(x)
 
+        from inklayer_tpu.runtime import pallas_enabled
+
         n_tokens = h * w
-        on_tpu = jax.default_backend() == "tpu"
+        on_tpu = pallas_enabled()
         if (self.use_flash and on_tpu and b > 1 and 64 <= n_tokens < 1024
                 and self.use_rel_pos and head_dim <= 128):
             # Windowed blocks: one fused kernel program per window computes
@@ -150,7 +152,7 @@ class Attention(nn.Module):
                 rel_w = jnp.einsum("bnhwc,wkc->bnhwk", qg, rw_tab)
 
         n_tokens = h * w
-        on_tpu = jax.default_backend() == "tpu"
+        # (pallas_enabled() from the dispatch block above)
         # global blocks only: for the 196-token windows the fused-XLA path is
         # faster end-to-end (flash's 400-program grid per block loses to
         # XLA's batched einsum despite materializing the rel-pos bias;
@@ -376,9 +378,11 @@ class Block(nn.Module):
         # the token-count floor keeps tiny dryrun/test configs (e.g. the
         # 2x2-window multichip dryrun, which runs on a CPU mesh while the
         # default backend is still the TPU plugin) off the Pallas path
+        from inklayer_tpu.runtime import pallas_enabled
+
         fused_window = (
             self.window_size > 0 and self.use_flash and self.use_rel_pos
-            and jax.default_backend() == "tpu"
+            and pallas_enabled()
             and self.window_size * self.window_size >= 64
             and self.dim // self.num_heads <= 128)
         if fused_window:

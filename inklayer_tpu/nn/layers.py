@@ -52,9 +52,11 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x):
         tokens = x.size // x.shape[-1]
+        from inklayer_tpu.runtime import pallas_enabled
+
         if (self.fused and self.act is gelu_exact
                 and self.dtype == jnp.bfloat16
-                and jax.default_backend() == "tpu"
+                and pallas_enabled()
                 and x.shape[-1] % 128 == 0 and self.out_dim % 128 == 0
                 and self.hidden_dim % 512 == 0 and tokens % 512 == 0):
             from inklayer_tpu.ops.mlp import mlp_gelu
@@ -109,8 +111,9 @@ class LayerNorm(nn.Module):
             # full-C blocks are legal for any lane width (the block equals
             # the array dim); sub-128 C (Swin stages: 96/192) still beats
             # XLA's split convert+reduce fusions by ~4x
-            if (jax.default_backend() == "tpu" and c % 8 == 0
-                    and x2.shape[0] >= 512):
+            from inklayer_tpu.runtime import pallas_enabled
+
+            if pallas_enabled() and c % 8 == 0 and x2.shape[0] >= 512:
                 from inklayer_tpu.ops.norm import layernorm_residual_2d
 
                 s, o = layernorm_residual_2d(x2, r2, scale, bias,
@@ -131,8 +134,9 @@ class LayerNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        if (jax.default_backend() == "tpu" and c % 8 == 0
-                and x.shape[0] >= 512):
+        from inklayer_tpu.runtime import pallas_enabled
+
+        if pallas_enabled() and c % 8 == 0 and x.shape[0] >= 512:
             # Pallas one-pass LN: XLA's convert+reduce splits run ~20x off
             # the HBM roofline when custom calls elsewhere perturb layouts
             from inklayer_tpu.ops.norm import layernorm_2d

@@ -727,10 +727,11 @@ def window_rel_terms_from_x(
 
 
 def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    # kernel-dispatch gate: False under runtime.disable_pallas() (training
+    # paths — the Pallas kernels have no VJPs; XLA paths are differentiable)
+    from inklayer_tpu.runtime import pallas_enabled
+
+    return pallas_enabled()
 
 
 def attention(

@@ -53,7 +53,9 @@ def ms_deform_attn(
       'auto'   — tiled/pallas on TPU for large query counts, gather
                  otherwise."""
     if impl == "auto":
-        on_tpu = jax.default_backend() == "tpu"
+        from inklayer_tpu.runtime import pallas_enabled
+
+        on_tpu = pallas_enabled()
         if on_tpu and sampling_locations.shape[1] >= 512:
             impl = ("tiled" if query_raster
                     and _tiled_plan(spatial_shapes) is not None else "pallas")

@@ -80,8 +80,14 @@ class Trainer:
         self._step = step
 
     def train_step(self, batch) -> float:
-        self.params, self.opt_state, loss = self._step(
-            self.params, self.opt_state, batch)
+        # trace with the Pallas kernels disabled: they have no VJPs, so the
+        # differentiated forward must take the XLA paths (runtime.py); the
+        # flag is read at trace time, so warm steps pay nothing
+        from inklayer_tpu.runtime import disable_pallas
+
+        with disable_pallas():
+            self.params, self.opt_state, loss = self._step(
+                self.params, self.opt_state, batch)
         return loss
 
 
