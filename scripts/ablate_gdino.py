@@ -53,7 +53,10 @@ def bench(name, model, *args):
 
 
 rs = np.random.RandomState(0)
-img = jnp.asarray(rs.randn(1, 800, 800, 3), DT)
+# inputs generated ON DEVICE: a host ndarray of this size rides the
+# ~1.4 MB/s tunnel for minutes before anything compiles
+img = jax.jit(lambda k: jax.random.normal(k, (1, 800, 800, 3), DT))(
+    jax.random.key(0))
 pad = jnp.zeros((1, 800, 800), bool)
 
 ids = np.full((1, 6), 0, np.int32)
@@ -75,10 +78,12 @@ bench("BERT text encoder", BertEncoder(CFG.bert, dtype=DT),
 
 # 4. transformer alone on synthetic multi-level features
 shapes_hw = [(100, 100), (50, 50), (25, 25), (13, 13)]
-srcs = [jnp.asarray(rs.randn(1, h, w, 256), DT) for h, w in shapes_hw]
+srcs = [jax.jit(lambda k, h=h, w=w: jax.random.normal(k, (1, h, w, 256), DT))(
+    jax.random.key(i)) for i, (h, w) in enumerate(shapes_hw)]
 masks = [jnp.zeros((1, h, w), bool) for h, w in shapes_hw]
 poses = [sine_pos_embed_hw(m, 128, 20.0, 20.0).astype(DT) for m in masks]
-text = jnp.asarray(rs.randn(1, 6, 256), DT)
+text = jax.jit(lambda k: jax.random.normal(k, (1, 6, 256), DT))(
+    jax.random.key(9))
 tok_mask = jnp.asarray(ids != 0)
 bench("enc/dec transformer", GDinoTransformer(CFG, dtype=DT),
       srcs, masks, poses, text, tok_mask, attn_j, pos_j)
