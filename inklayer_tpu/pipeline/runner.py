@@ -207,7 +207,15 @@ class InkLayerPipeline:
         across images: GDINO detect groups same-bucket images into one
         forward, and SAM ViT-H encodes batch_size images per launch —
         amortizing per-dispatch overhead and filling the MXU at batch
-        dimension (one extra compile per batch shape)."""
+        dimension (one extra compile per batch shape).
+
+        Measured through the axon tunnel (4-image sweep, 2026-08-20):
+        batch_size=2 LOSES to the default lookahead — 1.47 vs 1.96
+        sketches/s — because _prefill_batches serializes all device
+        batches BEFORE any per-image host work, forfeiting the
+        device/host overlap, and the batched uploads ride the slow
+        tunnel.  Keep batch_size=1 here; batching should win on real TPU
+        VMs where host<->device is fast and dispatch is cheap."""
         self.async_io = True
         self._det_cache, self._sam_state_cache = {}, {}
         try:
