@@ -658,6 +658,17 @@ def ms_deform_attn_ref(value, spatial_shapes, sampling_locations, attention_weig
 # of the tile bound; never at the reference's offset-init scale).
 # All levels share ONE reduce matmul (vstacked selector): matmul ops carry
 # a measured ~0.25us fixed cost each (scripts/_tmp_deform_probe.py).
+#
+# Predicted nulls (analysed, not implemented — the kernel is MXU-PASS-bound,
+# see the phase-split / window-narrowing measured nulls above):
+#   * y-windowing the tall level-0 value tile (100 -> ~80 rows): the rows
+#     are the K dim of the Sy @ V contraction, and K=100 already fits in a
+#     single 128-deep MXU pass — shrinking it to 80 removes zero passes.
+#     The only real saving is HBM traffic on the value window (~0.4 ms of
+#     an ~8 ms layer), bought with a second scalar-prefetch axis, row-block
+#     concats in VMEM, and a new escape surface on y.  Not worth it.
+#   * int8 value tiles: halves the same ~0.4 ms HBM term, changes no pass
+#     count (M/N unchanged, K still single-pass), and risks bilinear parity.
 
 _WBLK = 16    # window block granularity (columns)
 _TILE_Q = 400  # queries per tile = ty*tx (50x8 at standard GDINO shapes)
