@@ -473,7 +473,8 @@ def sam_window_attention(
 
 def _window_block_kernel(qkv_ref, rh_ref, rw_ref, b_ref, brh_ref, brw_ref,
                          o_ref, *, scale: float, win: int, gw: int,
-                         heads: int, head_dim: int, valid_w: int):
+                         heads: int, head_dim: int, valid_w: int,
+                         kbands: int = 1):
     """Partition-free SAM windowed attention: one program per ROW BAND of
     `gw` windows, read straight out of the padded (Hp, Wp, 3C) qkv map via
     BlockSpec indexing — no window_partition/unpartition copies exist in the
@@ -493,13 +494,29 @@ def _window_block_kernel(qkv_ref, rh_ref, rw_ref, b_ref, brh_ref, brw_ref,
     bias qkv and bias-fold rel through the dense itself."""
     n = win * win
     c = heads * head_dim
-    band = qkv_ref[0]  # (win, Wc, 3C)
-    rh_band = rh_ref[0]  # (win, Wc, heads*win)
-    rw_band = rw_ref[0]
     colx = jax.lax.broadcasted_iota(jnp.int32, (n, win), 0)
     rowx = jax.lax.broadcasted_iota(jnp.int32, (n, win), 1)
     expand_h_t = (colx // win == rowx).astype(jnp.bfloat16)  # (n, win)
     expand_w_t = (colx % win == rowx).astype(jnp.bfloat16)
+    for bi in range(kbands):
+        _window_band_body(
+            qkv_ref[0, bi * win:(bi + 1) * win],
+            rh_ref[0, bi * win:(bi + 1) * win],
+            rw_ref[0, bi * win:(bi + 1) * win],
+            b_ref, brh_ref, brw_ref, o_ref, bi * win,
+            expand_h_t, expand_w_t, scale=scale, win=win, gw=gw,
+            heads=heads, head_dim=head_dim, valid_w=valid_w)
+
+
+def _window_band_body(band, rh_band, rw_band, b_ref, brh_ref, brw_ref,
+                      o_ref, row0, expand_h_t, expand_w_t, *, scale: float,
+                      win: int, gw: int, heads: int, head_dim: int,
+                      valid_w: int):
+    """One row band (`gw` windows) of the partition-free window attention;
+    band/rh_band/rw_band: (win, Wc, .) VMEM slices, output rows start at
+    row0 of o_ref[0]."""
+    n = win * win
+    c = heads * head_dim
     for j in range(gw):
         # window tokens (n, 3C): rows of the (win, win, 3C) slab stacked
         # along sublanes by concatenation (Mosaic-supported; a plain
@@ -558,12 +575,12 @@ def _window_block_kernel(qkv_ref, rh_ref, rw_ref, b_ref, brh_ref, brw_ref,
             outs.append((o / l).astype(o_ref.dtype))
         o_win = jnp.concatenate(outs, axis=1)  # (n, C)
         for r in range(win):
-            o_ref[0, r, j0:j0 + wv, :] = o_win[r * win:r * win + wv, :]
+            o_ref[0, row0 + r, j0:j0 + wv, :] = o_win[r * win:r * win + wv, :]
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "win", "heads",
                                              "head_dim", "gw", "interpret",
-                                             "valid_w"))
+                                             "valid_w", "bands_per_program"))
 def sam_window_block_attention(
     qkv_sp: jax.Array,  # (B, Hp, Wp, 3*heads*head_dim), Hp % win == 0
     tab_h: jax.Array,   # (win, win, head_dim) gathered rel_pos_h table
@@ -582,6 +599,8 @@ def sam_window_block_attention(
     rel_bias_w: Optional[jax.Array] = None,
     valid_w: int = 0,  # >0: buffer is valid_w cols wide, the last window's
     # overhang columns are synthesised in-kernel from bias/rel_bias_*
+    bands_per_program: int = 1,  # k>=2: process k row bands (k*gw windows)
+    # per grid step — issue-floor amortisation experiment (ablate_win_issue)
 ) -> jax.Array:
     """Windowed SAM attention over the spatial qkv map, windows addressed by
     BlockSpec indexing (no partition copies).  Pad tokens carry qkv = dense
@@ -632,20 +651,22 @@ def sam_window_block_attention(
     if rel_bias_h is None:
         rel_bias_h = jnp.zeros((win, heads * win), qkv_sp.dtype)
         rel_bias_w = jnp.zeros((win, heads * win), qkv_sp.dtype)
+    kb = bands_per_program
+    assert (hp // win) % kb == 0, (hp, win, kb)
     kernel = functools.partial(_window_block_kernel, scale=scale, win=win,
                                gw=gw, heads=heads, head_dim=head_dim,
-                               valid_w=valid_w)
+                               valid_w=valid_w, kbands=kb)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), qkv_sp.dtype),
-        grid=(b, hp // win),
+        grid=(b, hp // (win * kb)),
         in_specs=[
-            pl.BlockSpec((1, win, wp, c3), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, win * kb, wp, c3), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, win, wp, heads * win),
+            pl.BlockSpec((1, win * kb, wp, heads * win),
                          lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, win, wp, heads * win),
+            pl.BlockSpec((1, win * kb, wp, heads * win),
                          lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c3), lambda bi, i: (0, 0),
@@ -655,11 +676,12 @@ def sam_window_block_attention(
             pl.BlockSpec((win, heads * win), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, win, wp, c), lambda bi, i: (bi, i, 0, 0),
+        out_specs=pl.BlockSpec((1, win * kb, wp, c),
+                               lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         **({} if interpret else {"compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2 ** 20)}),
+            vmem_limit_bytes=(64 if kb == 1 else 110) * 2 ** 20)}),
     )(qkv_sp, rel_h, rel_w, bias.reshape(1, c3), rel_bias_h, rel_bias_w)
 
 

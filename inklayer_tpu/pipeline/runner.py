@@ -151,8 +151,12 @@ class InkLayerPipeline:
         from concurrent.futures import ThreadPoolExecutor
 
         self._writer = ThreadPoolExecutor(max_workers=2)
-        self._pending: List = []
-        self.async_io = False
+        # pending write-futures are PER-THREAD: concurrent run() calls
+        # (serve requests, run_dir workers>1) each drain exactly the writes
+        # they submitted — a shared list let thread A's drain clear thread
+        # B's futures before B awaited them (B could then return with PNGs
+        # still in flight)
+        self._local = threading.local()
         self._batched_encoder = None
         self._det_cache: dict = {}
         self._sam_state_cache: dict = {}
@@ -172,6 +176,23 @@ class InkLayerPipeline:
             self.sam.encode_fn = self._batched_encoder.encode
         return self._batched_encoder
 
+    @property
+    def _pending(self) -> List:
+        lst = getattr(self._local, "pending", None)
+        if lst is None:
+            lst = self._local.pending = []
+        return lst
+
+    @property
+    def async_io(self) -> bool:
+        # per-thread like _pending: concurrent run() calls must not restore
+        # each other's flag (a stale True makes a run skip its final drain)
+        return getattr(self._local, "async_io", False)
+
+    @async_io.setter
+    def async_io(self, value: bool):
+        self._local.async_io = value
+
     def _submit(self, fn, *args):
         if self.async_io:
             self._pending.append(self._writer.submit(fn, *args))
@@ -179,10 +200,11 @@ class InkLayerPipeline:
             fn(*args)
 
     def drain(self):
-        """Wait for all outstanding host-side writes."""
-        for f in self._pending:
+        """Wait for all host-side writes submitted BY THIS THREAD."""
+        pending = self._pending
+        for f in pending:
             f.result()
-        self._pending.clear()
+        pending.clear()
 
     def run_dir(self, paths, out_base_dir: str, no_intermediate: bool = False,
                 inpaint: bool = False, batch_size: int = 1,
@@ -223,19 +245,24 @@ class InkLayerPipeline:
                 self._prefill_batches(paths, batch_size)
             self._img_cache, self._depth_cache = {}, {}
             if inpaint:
-                workers = 1  # the inpaint path drains mid-run (reads masks
-                # from disk); concurrent drains could clear another worker's
-                # pending writes before they are awaited
+                workers = 1  # diffusion dominates and serializes on the
+                # device anyway; keep the sweep single-threaded (per-thread
+                # pending lists have made mid-run drains safe, but there is
+                # nothing to win)
             if workers > 1 and len(paths) > 1:
                 # (combines with batch_size > 1: the prefill above already
                 # cached detect results + SAM states for every image, so
                 # worker threads only run the host/refine path concurrently)
                 from concurrent.futures import ThreadPoolExecutor
 
+                def _run_and_drain(p):
+                    out = self.run(p, out_base_dir, no_intermediate, inpaint)
+                    self.drain()  # pending lists are thread-local: each
+                    # worker awaits exactly the writes it submitted
+                    return out
+
                 with ThreadPoolExecutor(max_workers=workers) as ex:
-                    outs = list(ex.map(
-                        lambda p: self.run(p, out_base_dir, no_intermediate,
-                                           inpaint), paths))
+                    outs = list(ex.map(_run_and_drain, paths))
                 return outs
             outs = []
             # PNG decode (+grayscale) of image i+1 rides a dedicated thread

@@ -65,7 +65,15 @@ class InkLayerApp:
     `pipeline_factory` on first segmentation request if not given)."""
 
     def __init__(self, pipeline=None, pipeline_factory: Optional[Callable] = None,
-                 root_dir: Optional[str] = None, micro_batch: bool = False):
+                 root_dir: Optional[str] = None, micro_batch: bool = True,
+                 max_concurrency: Optional[int] = None):
+        """micro_batch (default ON — BASELINE config 5 "continuous-batched
+        TPU inference"): concurrent /segment-sketch requests run the
+        pipeline concurrently and their SAM ViT-H encodes share one batched
+        launch via the MicroBatcher.  The reference serves strictly
+        sequentially (custom_interface/app.py:71-98).  max_concurrency
+        bounds in-flight pipeline runs (host memory); same-image requests
+        always serialize on a per-image lock."""
         self.root_dir = root_dir or os.path.join(
             os.path.dirname(__file__), "webroot")
         self.upload_dir = os.path.join(self.root_dir, "static", "uploads")
@@ -75,19 +83,34 @@ class InkLayerApp:
         self._pipeline = pipeline
         self._factory = pipeline_factory
         self._micro_batch = micro_batch
-        self._lock = threading.Lock()  # one TPU pipeline at a time
+        if max_concurrency is None:
+            max_concurrency = 4 if micro_batch else 1
+        self._sem = threading.BoundedSemaphore(max_concurrency)
+        self._build_lock = threading.Lock()  # lazy pipeline build, once
+        self._name_locks: dict = {}  # image name -> lock
+        self._name_locks_guard = threading.Lock()
+        if (pipeline is not None and micro_batch
+                and hasattr(pipeline, "enable_batched_encoder")):
+            pipeline.enable_batched_encoder()
 
     # ------------------------------------------------------------------
     @property
     def pipeline(self):
         if self._pipeline is None:
-            if self._factory is None:
-                raise RuntimeError("no pipeline configured")
-            self._pipeline = self._factory()
-            if self._micro_batch and hasattr(self._pipeline,
-                                             "enable_batched_encoder"):
-                self._pipeline.enable_batched_encoder()
+            with self._build_lock:
+                if self._pipeline is None:
+                    if self._factory is None:
+                        raise RuntimeError("no pipeline configured")
+                    pipe = self._factory()
+                    if self._micro_batch and hasattr(
+                            pipe, "enable_batched_encoder"):
+                        pipe.enable_batched_encoder()
+                    self._pipeline = pipe
         return self._pipeline
+
+    def _image_lock(self, name: str) -> threading.Lock:
+        with self._name_locks_guard:
+            return self._name_locks.setdefault(name, threading.Lock())
 
     # ------------------------------------------------------------------
     def __call__(self, environ, start_response):
@@ -209,7 +232,7 @@ class InkLayerApp:
         if not image_path:
             return self._json_resp(
                 {"error": f"Image not found: {image_name}"}, "404 Not Found")
-        with self._lock:
+        with self._image_lock(image_name), self._sem:
             out_dir = self.pipeline.run(image_path, self.output_dir,
                                         no_intermediate=False, inpaint=True)
         urls = sorted(
@@ -243,7 +266,7 @@ class InkLayerApp:
         mask = np.asarray(Image.open(mask_path).convert("L")) > 127
         rect = expand_mask_to_rect(mask, pad=10)
         image = Image.open(image_path).convert("RGB")
-        with self._lock:
+        with self._image_lock(image_name), self._sem:
             inpainter = self.pipeline.inpainter
             if inpainter is None:
                 return self._json_resp({"error": "inpainting not configured"},

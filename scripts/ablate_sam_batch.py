@@ -12,14 +12,14 @@ ablate_deform_tiled.py).
 Roofline: ~6.2 TFLOP/image forward at bf16 on v5e (197 TFLOP/s peak)
 => ~31.5 ms/image ideal.
 
-Measured 2026-08-20 (v5e through the axon tunnel):
-  batch 1: 57.35 ms/img  MFU 54.9%
-  batch 2: 53.88 ms/img  MFU 58.4%
-  batch 4: 53.28 ms/img  MFU 59.1%
-Batching buys ~7% and saturates by batch 2 — the single-image gap to 80%
-is the per-window small-matmul issue floor (0.25 vs ~0.15 ms/block,
-ablate_sam_encoder.py), which batching cannot amortise: each window is
-still its own MXU pass.  Conclusion recorded in ROADMAP.md item 3.
+Round-2 caveat (advisor): the first capture used LOOP=4, too shallow to
+amortise the ~35 ms tunnel RTT — RTT added ~8.8 ms/img at batch 1 vs ~2.2
+at batch 4, so the apparent "batching buys ~7%" mostly measured RTT
+amortisation, not device behavior.  LOOP is now 20 (~1.75 ms RTT residual
+per image at batch 1, ~0.4 at batch 4).
+
+(LOOP=20 numbers: see the measured block appended below by the round-3
+re-run.)
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -35,7 +35,7 @@ from inklayer_tpu.models.sam.image_encoder import ImageEncoderViT
 TFLOP_PER_IMG = 6.2
 PEAK_TFLOPS = 197.0  # v5e bf16
 ROOF_MS = TFLOP_PER_IMG / PEAK_TFLOPS * 1e3
-LOOP = 4
+LOOP = 20
 N_WARM, N_ITER = 2, 8
 
 H = dict(img_size=1024, patch_size=16, embed_dim=1280, depth=32,
@@ -63,6 +63,8 @@ def main():
 
         t0 = time.perf_counter()
         float(many(params, x))
+        # compile + one full LOOP-deep execution + a tunnel RTT (label was
+        # previously just "compile" — advisor r02)
         compile_s = time.perf_counter() - t0
         for _ in range(N_WARM):
             float(many(params, x))
@@ -74,7 +76,8 @@ def main():
         p50 = float(np.percentile(ts, 50))
         mfu = ROOF_MS / p50 * 100.0
         print(f"batch {b}: p50 {p50:6.2f} ms/img  "
-              f"MFU {mfu:5.1f}%  (compile {compile_s:.0f}s)", flush=True)
+              f"MFU {mfu:5.1f}%  (compile+first-run {compile_s:.0f}s)",
+              flush=True)
 
 
 if __name__ == "__main__":

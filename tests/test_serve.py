@@ -57,6 +57,17 @@ def test_index_served(app):
     assert b"InkLayer" in body
 
 
+def test_canvas_tools_present(app):
+    """Drawing-ergonomics parity with the reference canvas
+    (canvas_ui.js:17-53,104-105): brush size + color controls and
+    stored-path undo."""
+    _, body = call(app, "GET", "/")
+    for frag in (b'id="brushSize"', b'id="brushSizeDisplay"',
+                 b'id="brushColor"', b'id="undo"', b"redrawCanvas",
+                 b"paths.pop()"):
+        assert frag in body, frag
+
+
 def test_404(app):
     status, _ = call(app, "GET", "/nope")
     assert status == "404 Not Found"
@@ -182,6 +193,69 @@ def test_serve_micro_batch_factory(tmp_path):
     assert app._pipeline._batched_encoder is not None
     assert app._pipeline.sam.encode_fn is not None
     app._pipeline._batched_encoder.close()
+
+
+def test_concurrent_requests_share_encoder_batch(tmp_path):
+    """Two in-flight /segment-sketch requests run concurrently (per-image
+    locks + semaphore, not one global lock) and their SAM ViT encodes share
+    ONE batched launch through the default-on MicroBatcher (BASELINE
+    config 5 'continuous-batched TPU inference'; the reference handles
+    requests strictly sequentially, custom_interface/app.py:71-98)."""
+    import threading
+
+    from inklayer_tpu.build import build_pipeline
+    from tests.test_pipeline import TINY_PIPE
+
+    pipeline = build_pipeline(TINY_PIPE)
+    pipeline.inpainter = None
+    app = InkLayerApp(pipeline=pipeline, root_dir=str(tmp_path))  # defaults
+    be = pipeline._batched_encoder
+    assert be is not None, "micro_batch must default ON"
+
+    def save(name):
+        g = np.full((64, 64, 3), 255, np.uint8)
+        g[10:50, 10:13] = 0
+        g[10:13, 10:50] = 0
+        buf = io.BytesIO()
+        Image.fromarray(g).save(buf, "PNG")
+        data_url = ("data:image/png;base64,"
+                    + base64.b64encode(buf.getvalue()).decode())
+        status, _ = call(app, "POST", "/save-canvas-drawing",
+                         json.dumps({"imageData": data_url,
+                                     "filename": name}).encode())
+        assert status == "200 OK"
+
+    def segment(name, out):
+        status, body = call(app, "POST", "/segment-sketch",
+                            json.dumps({"imageName": name}).encode())
+        out[name] = (status, body)
+
+    for n in ("warm", "c1", "c2"):
+        save(n)
+    # warm-up request compiles every stage jit (sequential)
+    res = {}
+    segment("warm", res)
+    assert res["warm"][0] == "200 OK"
+
+    # instrument the batcher: record every encoder launch's batch size and
+    # widen the batching window so the two requests deterministically meet
+    sizes = []
+    orig_fn = be.batcher.fn
+
+    def recording_fn(imgs):
+        sizes.append(int(imgs.shape[0]))
+        return orig_fn(imgs)
+
+    be.batcher.fn = recording_fn
+    be.batcher.max_wait = 5.0
+    t1 = threading.Thread(target=segment, args=("c1", res))
+    t2 = threading.Thread(target=segment, args=("c2", res))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert res["c1"][0] == "200 OK" and res["c2"][0] == "200 OK"
+    assert 2 in sizes, f"encoder batches were {sizes} — requests did not share"
+    assert os.path.exists(os.path.join(app.output_dir, "c1", "masks_final"))
+    assert os.path.exists(os.path.join(app.output_dir, "c2", "masks_final"))
+    be.close()
 
 
 def test_demo_gallery_flow(app, tmp_path, monkeypatch):
