@@ -34,6 +34,54 @@ def build_point_grid(n_per_side: int) -> np.ndarray:
     return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1)
 
 
+def build_all_layer_point_grids(n_per_side: int, n_layers: int,
+                                scale_per_layer: int) -> List[np.ndarray]:
+    """Per-crop-layer point grids (utils/amg.py build_all_layer_point_grids:
+    layer i uses n_per_side / scale^i points per side)."""
+    return [build_point_grid(int(n_per_side / (scale_per_layer ** i)))
+            for i in range(n_layers + 1)]
+
+
+def generate_crop_boxes(im_size, n_layers: int, overlap_ratio: float):
+    """Crop pyramid: layer 0 = whole image, layer i has (2^i)^2 overlapping
+    xyxy crops (utils/amg.py generate_crop_boxes:200-234, same arithmetic)."""
+    import math
+    from itertools import product
+
+    im_h, im_w = im_size
+    short_side = min(im_h, im_w)
+    crop_boxes, layer_idxs = [[0, 0, im_w, im_h]], [0]
+
+    def crop_len(orig_len, n_crops, overlap):
+        return int(math.ceil((overlap * (n_crops - 1) + orig_len) / n_crops))
+
+    for i_layer in range(n_layers):
+        n_side = 2 ** (i_layer + 1)
+        overlap = int(overlap_ratio * short_side * (2 / n_side))
+        cw = crop_len(im_w, n_side, overlap)
+        ch = crop_len(im_h, n_side, overlap)
+        xs = [int((cw - overlap) * i) for i in range(n_side)]
+        ys = [int((ch - overlap) * i) for i in range(n_side)]
+        for x0, y0 in product(xs, ys):
+            crop_boxes.append([x0, y0, min(x0 + cw, im_w),
+                               min(y0 + ch, im_h)])
+            layer_idxs.append(i_layer + 1)
+    return crop_boxes, layer_idxs
+
+
+def is_box_near_crop_edge(boxes: np.ndarray, crop_box, orig_box,
+                          atol: float = 20.0) -> np.ndarray:
+    """True for boxes near their crop's edge but not the image edge
+    (utils/amg.py:78-88); boxes are in the CROP frame."""
+    crop = np.asarray(crop_box, np.float64)
+    orig = np.asarray(orig_box, np.float64)
+    b = boxes.astype(np.float64) + np.asarray(
+        [crop_box[0], crop_box[1], crop_box[0], crop_box[1]], np.float64)
+    near_crop = np.isclose(b, crop[None, :], atol=atol, rtol=0)
+    near_image = np.isclose(b, orig[None, :], atol=atol, rtol=0)
+    return np.any(near_crop & ~near_image, axis=1)
+
+
 @jax.jit
 def stability_score(logits: jax.Array, mask_threshold: float = 0.0,
                     offset: float = 1.0) -> jax.Array:
@@ -112,7 +160,10 @@ class SamAutomaticMaskGenerator:
                  points_per_batch: int = 64, pred_iou_thresh: float = 0.88,
                  stability_score_thresh: float = 0.95,
                  stability_score_offset: float = 1.0,
-                 box_nms_thresh: float = 0.7, min_mask_region_area: int = 0):
+                 box_nms_thresh: float = 0.7, min_mask_region_area: int = 0,
+                 crop_n_layers: int = 0, crop_nms_thresh: float = 0.7,
+                 crop_overlap_ratio: float = 512 / 1500,
+                 crop_n_points_downscale_factor: int = 1):
         self.predictor = predictor
         self.points_per_side = points_per_side
         self.points_per_batch = points_per_batch
@@ -121,6 +172,10 @@ class SamAutomaticMaskGenerator:
         self.stability_score_offset = stability_score_offset
         self.box_nms_thresh = box_nms_thresh
         self.min_mask_region_area = min_mask_region_area
+        self.crop_n_layers = crop_n_layers
+        self.crop_nms_thresh = crop_nms_thresh
+        self.crop_overlap_ratio = crop_overlap_ratio
+        self.crop_n_points_downscale_factor = crop_n_points_downscale_factor
         model = predictor.model
 
         @jax.jit
@@ -151,14 +206,23 @@ class SamAutomaticMaskGenerator:
 
         self._decode_points = decode_points
 
-    def generate(self, image: np.ndarray) -> List[Dict]:
-        pred = self.predictor
-        pred.set_image(image)
-        h, w = image.shape[:2]
-        grid = build_point_grid(self.points_per_side)
-        pts_model = grid * np.asarray([[w, h]]) * pred._scale  # model space
+    def _process_crop(self, image: np.ndarray, crop_box, grid: np.ndarray,
+                      orig_size) -> Dict[str, np.ndarray]:
+        """One crop: decode its point grid at low res, filter, upsample the
+        survivors on device, box/edge-filter, per-crop NMS, uncrop.
+        Mask readbacks ride the bit-packed transfer (ops/bits.py)."""
+        from inklayer_tpu.ops.bits import masks_to_host
 
-        records = []
+        pred = self.predictor
+        oh, ow = orig_size
+        x0, y0, x1, y1 = crop_box
+        cropped = image[y0:y1, x0:x1]
+        pred.set_image(cropped)
+        ch, cw = cropped.shape[:2]
+        pts_model = grid * np.asarray([[cw, ch]]) * pred._scale  # model space
+
+        survivors: List[Dict] = []
+        lowres: List[np.ndarray] = []
         for start in range(0, len(pts_model), self.points_per_batch):
             batch = pts_model[start: start + self.points_per_batch]
             pad = self.points_per_batch - len(batch)
@@ -174,35 +238,107 @@ class SamAutomaticMaskGenerator:
                         continue
                     if stab[pi, mi] < self.stability_score_thresh:
                         continue
-                    records.append({
-                        "low_res_logits": logits[pi, mi],
+                    lowres.append(logits[pi, mi])
+                    survivors.append({
                         "predicted_iou": float(iou[pi, mi]),
                         "stability_score": float(stab[pi, mi]),
+                        # points reported in the ORIGINAL frame (uncropped,
+                        # automatic_mask_generator.py:262 uncrop_points)
                         "point_coords": [
-                            (grid[start + pi] * [w, h]).tolist()],
+                            (grid[start + pi] * [cw, ch]
+                             + [x0, y0]).tolist()],
                     })
-        if not records:
+        empty = dict(masks=np.zeros((0, oh, ow), bool),
+                     boxes=np.zeros((0, 4), np.float64),
+                     iou=np.zeros((0,)), recs=[])
+        if not survivors:
+            return empty
+
+        # device upsample to crop res + threshold + boxes; packed readback
+        masks_c, boxes_l = [], []
+        for start in range(0, len(lowres), self.points_per_batch):
+            chunk = jnp.asarray(
+                np.stack(lowres[start: start + self.points_per_batch]))
+            full = pred._postprocess_device(chunk) > 0  # (n, ch, cw) bool
+            boxes_l.append(np.asarray(mask_boxes(full)))
+            masks_c.append(masks_to_host(full))
+        masks_c = np.concatenate(masks_c)
+        boxes = np.concatenate(boxes_l).astype(np.float64)
+
+        # drop masks touching the crop edge (but not the image edge)
+        keep = ~is_box_near_crop_edge(boxes, crop_box, [0, 0, ow, oh])
+        if not keep.all():
+            masks_c = masks_c[keep]
+            boxes = boxes[keep]
+            survivors = [r for r, k in zip(survivors, keep) if k]
+        if not len(survivors):
+            return empty
+
+        # per-crop dedup (automatic_mask_generator.py:270-276)
+        iou_preds = np.asarray([r["predicted_iou"] for r in survivors])
+        keep_idx = box_nms(boxes, iou_preds, self.box_nms_thresh)
+        masks_c = masks_c[keep_idx]
+        boxes = boxes[keep_idx]
+        survivors = [survivors[i] for i in keep_idx]
+
+        # return to the original frame
+        if (x0, y0, x1, y1) != (0, 0, ow, oh):
+            full = np.zeros((len(masks_c), oh, ow), bool)
+            full[:, y0:y1, x0:x1] = masks_c
+            masks_c = full
+            boxes = boxes + np.asarray([x0, y0, x0, y0], np.float64)
+        return dict(masks=masks_c, boxes=boxes,
+                    iou=np.asarray([r["predicted_iou"] for r in survivors]),
+                    recs=survivors)
+
+    def generate(self, image: np.ndarray) -> List[Dict]:
+        h, w = image.shape[:2]
+        crop_boxes, layer_idxs = generate_crop_boxes(
+            (h, w), self.crop_n_layers, self.crop_overlap_ratio)
+        grids = build_all_layer_point_grids(
+            self.points_per_side, self.crop_n_layers,
+            self.crop_n_points_downscale_factor)
+
+        parts = [self._process_crop(image, cb, grids[li], (h, w))
+                 for cb, li in zip(crop_boxes, layer_idxs)]
+        masks = np.concatenate([p["masks"] for p in parts])
+        boxes = np.concatenate([p["boxes"] for p in parts])
+        recs = [r for p in parts for r in p["recs"]]
+        crop_of = np.concatenate([
+            np.repeat([cb], len(p["recs"]), axis=0)
+            for cb, p in zip(crop_boxes, parts)]) if recs else \
+            np.zeros((0, 4))
+        if not recs:
             return []
 
-        # upsample surviving masks to full res and dedup with box NMS
-        masks = np.stack([
-            np.asarray(pred._postprocess(
-                jnp.asarray(r.pop("low_res_logits"))[None]))[0] > 0
-            for r in records])
-        boxes = np.asarray(mask_boxes(jnp.asarray(masks)))
-        scores = np.asarray([r["predicted_iou"] for r in records])
-        keep = box_nms(boxes.astype(np.float64), scores, self.box_nms_thresh)
+        if len(crop_boxes) > 1:
+            # cross-crop dedup preferring masks from smaller crops
+            # (automatic_mask_generator.py:210-220: scores = 1/crop_area)
+            areas = ((crop_of[:, 2] - crop_of[:, 0])
+                     * (crop_of[:, 3] - crop_of[:, 1])).astype(np.float64)
+            keep = box_nms(boxes, 1.0 / areas, self.crop_nms_thresh)
+            masks, boxes = masks[keep], boxes[keep]
+            recs = [recs[i] for i in keep]
+            crop_of = crop_of[keep]
+
         out = []
-        for i in keep:
+        for i, rec in enumerate(recs):
             m = masks[i]
             if self.min_mask_region_area and m.sum() < self.min_mask_region_area:
                 continue
-            rec = records[i]
+            cb = crop_of[i]
             out.append({
                 "segmentation": m,
                 "rle": mask_to_rle(m),
                 "area": int(m.sum()),
-                "bbox": boxes[i].tolist(),
+                # XYWH like the reference records (utils/amg.py
+                # box_xyxy_to_xywh); xyxy under "bbox_xyxy" for convenience
+                "bbox": [boxes[i][0], boxes[i][1],
+                         boxes[i][2] - boxes[i][0],
+                         boxes[i][3] - boxes[i][1]],
+                "bbox_xyxy": boxes[i].tolist(),
+                "crop_box": [float(cb[0]), float(cb[1]),
+                             float(cb[2] - cb[0]), float(cb[3] - cb[1])],
                 "predicted_iou": rec["predicted_iou"],
                 "stability_score": rec["stability_score"],
                 "point_coords": rec["point_coords"],

@@ -167,7 +167,10 @@ def bench(name, f, args):
     @jax.jit
     def many(*a):
         def body(i, s):
-            return s + jnp.sum(f(*a).astype(jnp.float32)) * 1e-9
+            # s*0 into the first operand: loop-carried dependence so the
+            # (pure) pallas call cannot be hoisted out of the loop
+            a0 = (a[0] + jnp.asarray(s * 0, a[0].dtype),) + a[1:]
+            return s + jnp.sum(f(*a0).astype(jnp.float32)) * 1e-9
         return jax.lax.fori_loop(0, LOOP, body, 0.0)
 
     float(many(*args))

@@ -52,6 +52,15 @@ def _isolate_oracle_modules():
             del sys.modules[k]
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: everything not explicitly marked `slow` is `quick`.
+    `pytest -m quick` is the <5 min development gate; the full suite (no
+    -m) stays the round gate."""
+    for item in items:
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture()
 def rng():
     # function-scoped: every test draws the same stream regardless of which

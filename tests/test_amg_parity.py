@@ -209,6 +209,33 @@ def _match_sets(ours, ref_out, min_iou=0.98):
                                    ref_out[j]["predicted_iou"], atol=8e-3)
 
 
+def test_amg_crop_pyramid_parity(ref_pkg, converted_amg, rng):
+    """Crop pyramid at crop_n_layers=1 (5 crops: full image + 2x2 overlap
+    grid), per-layer downscaled point grids, edge-box filtering and the
+    cross-crop smaller-crop-wins NMS must all match the reference generator
+    (automatic_mask_generator.py:196-276, utils/amg.py:78-88,189-234)."""
+    torch_sam, predictor = converted_amg
+    image = (rng.random((48, 56, 3)) * 255).astype(np.uint8)
+    common = dict(points_per_side=4, stability_score_offset=1.0,
+                  min_mask_region_area=0, pred_iou_thresh=0.5,
+                  stability_score_thresh=0.0, box_nms_thresh=0.7,
+                  crop_n_layers=1, crop_nms_thresh=0.7,
+                  crop_n_points_downscale_factor=2)
+    ours = SamAutomaticMaskGenerator(
+        predictor, points_per_batch=16, **common).generate(image)
+    ref_gen = ref_pkg.SamAutomaticMaskGenerator(
+        model=torch_sam, points_per_batch=16, output_mode="binary_mask",
+        **common)
+    with torch.no_grad():
+        ref_out = ref_gen.generate(image)
+    assert len(ours) >= 1, "degenerate: no masks survived the crop pipeline"
+    _match_sets(ours, ref_out, min_iou=0.9)
+    # crop bookkeeping parity: which crop each surviving mask came from
+    crops_ours = sorted(tuple(r["crop_box"]) for r in ours)
+    crops_ref = sorted(tuple(r["crop_box"]) for r in ref_out)
+    assert crops_ours == crops_ref
+
+
 @pytest.mark.parametrize("kw,min_count,min_iou", [
     # accept-all + NMS off: every grid point x 3 multimask outputs survives
     # -> full 48-mask multiset comparison (filters, upsampling, RLE path).
