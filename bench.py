@@ -252,6 +252,9 @@ def main():
         "value": round(p50, 2),
         "unit": "ms",
         "vs_baseline": vs if vs is not None else 0.0,
+        # no checkpoints ship in this env: compute paths are real, but box
+        # counts / SAM prompt batches are unrepresentative of real sketches
+        "weights": "placeholder (seeded fill; no checkpoints in env)",
     }
     if not args.skip_full:
         try:

@@ -18,8 +18,17 @@ at batch 4, so the apparent "batching buys ~7%" mostly measured RTT
 amortisation, not device behavior.  LOOP is now 20 (~1.75 ms RTT residual
 per image at batch 1, ~0.4 at batch 4).
 
-(LOOP=20 numbers: see the measured block appended below by the round-3
-re-run.)
+Measured 2026-08-20 (LOOP=20, v5e through the axon tunnel):
+  batch 1: p50 50.34 ms/img  MFU 62.5%
+  batch 2: p50 50.54 ms/img  MFU 62.3%
+  batch 4: p50 51.65 ms/img  MFU 60.9%
+Device time is FLAT across batch sizes: batching buys ~0% on device — the
+round-2 "batch buys ~7%" delta was tunnel-RTT amortisation, exactly as the
+advisor predicted.  THE unified-protocol MFU number is 62.5% (batch 1,
+loop-amortized device time).  The residual gap to 80% is itemised
+per-kernel in ablate_win_issue.py (issue-floor decomposition with
+pure-matmul controls) and the achievable-roofline claim is recorded in
+BASELINE.md.
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))

@@ -5,8 +5,13 @@ goes: rel-pos bias construction, windowed-vs-global structure, attention
 path.  Timing protocol per the axon-tunnel rules: args passed through jit,
 completion forced with a jitted scalar readback, p50 over N iters.
 
-State 2026-08-19 (row-pad-free window path): 49.2 ms device -> ~64% device
-MFU.  Device budget per fwd (profile_sam.py --depth 32):
+State 2026-08-20 (row-pad-free window path): THE unified MFU number is
+**62.5%** — 50.3 ms/img by the loop-amortized protocol
+(ablate_sam_batch.py LOOP=20, batch 1).  The r02 "64%" (49.2 ms) came
+from this script's single-dispatch protocol whose ~1 ms smaller figure is
+dispatch-alignment jitter, and the r02 "54.9%" (57.4 ms) came from a
+4-deep loop that still carried ~7 ms of tunnel RTT per image; both are
+superseded.  Device budget per fwd (profile_sam.py --depth 32):
   mlp_gelu 19.8 (Pallas fused, 89% of its 17.4 roofline)
   qkv+rel fusions 7.3 (row-padded 4480-token map; was 8.1 on the 4900 pad)
   window kernel 6.95 (0.25/block; small-matmul issue floor ~0.15)

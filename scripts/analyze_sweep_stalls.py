@@ -1,0 +1,117 @@
+"""Where does the directory-sweep wall time go?  (VERDICT r02 next #3)
+
+Runs a warm 4-image run_dir sweep under the JAX profiler and reports, per
+image: wall time, DEVICE-BUSY time (sum of device-track complete events in
+the trace), and the host/RTT gap.  The claim to check: the gap between the
+measured ~2.1 sketches/s and the device-bound ceiling is tunnel round
+trips (each host<->device sync costs ~24-35 ms through the axon tunnel),
+which vanish on a real TPU VM (~0.2 ms RTT).
+
+Usage: python scripts/analyze_sweep_stalls.py [--n 4]
+
+(Measured results are appended below by the round-3 run; the projection
+methodology and numbers are recorded in BASELINE.md / ROADMAP.md.)
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import shutil
+import tempfile
+import time
+
+import numpy as np
+
+
+def device_busy_ms(trace_dir: str) -> tuple:
+    """(device_busy_ms, top ops list) from the newest trace in trace_dir.
+    Busy time = union length of device-track complete events (overlapping
+    events are not double-counted)."""
+    files = glob.glob(_os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    path = max(files, key=_os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_names.items()
+                if "TPU" in n or "Chip" in n or "/device" in n.lower()}
+    if not dev_pids:
+        dev_pids = set(pid_names)
+    spans = []
+    agg = collections.Counter()
+    for e in events:
+        if (e.get("ph") == "X" and e.get("pid") in dev_pids
+                and "dur" in e and "ts" in e):
+            # jit-module wrapper spans contain the per-op events; keep ALL
+            # spans and union them, so wrappers don't double-count
+            spans.append((e["ts"], e["ts"] + e["dur"]))
+            agg[e["name"].split(".")[0]] += e["dur"]
+    spans.sort()
+    busy, end = 0.0, -1.0
+    for s, t in spans:
+        if s > end:
+            busy += t - s
+            end = t
+        elif t > end:
+            busy += t - end
+            end = t
+    return busy / 1e3, agg.most_common(12)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+
+    from inklayer_tpu.build import build_pipeline
+    from inklayer_tpu.config import PipelineConfig
+
+    src = "/root/reference/data/bunny_cook_sketch.png"
+    pipe = build_pipeline(PipelineConfig())
+    out = tempfile.mkdtemp(prefix="sweep_stall_")
+    sweep_in = _os.path.join(out, "in")
+    _os.makedirs(sweep_in)
+    paths = []
+    for i in range(args.n):
+        p = _os.path.join(sweep_in, f"sketch_{i}.png")
+        shutil.copyfile(src, p)
+        paths.append(p)
+    try:
+        # two warm passes (first compiles, second stabilizes caches)
+        pipe.run_dir(paths, out, no_intermediate=True, inpaint=False)
+        pipe.run_dir(paths, out, no_intermediate=True, inpaint=False)
+
+        tdir = _os.path.join(out, "trace")
+        t0 = time.perf_counter()
+        with jax.profiler.trace(tdir):
+            pipe.run_dir(paths, out, no_intermediate=True, inpaint=False)
+        wall = (time.perf_counter() - t0) * 1e3
+        busy, top = device_busy_ms(tdir)
+        n = args.n
+        print(f"sweep n={n}: wall {wall:.0f} ms ({wall / n:.0f}/img, "
+              f"{n / wall * 1e3:.2f} sk/s)")
+        print(f"device busy {busy:.0f} ms ({busy / n:.0f}/img) -> "
+              f"host/RTT gap {(wall - busy) / n:.0f} ms/img")
+        print(f"device-bound ceiling {n / busy * 1e3:.2f} sk/s")
+        print("top device ops (us):")
+        for name, dur in top:
+            print(f"  {name:44s} {dur / 1e3:9.1f} ms")
+        st = dict(pipe.stage_times.times)
+        print("stage times (host-observed, s):",
+              {k: round(v, 2) for k, v in st.items()})
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
