@@ -110,8 +110,12 @@ def sketch_nms_dispatch(
     boxes: np.ndarray,  # (N, 4) xyxy pixels
     scores: np.ndarray,  # (N,)
     masks,  # (N, H, W) bool device array (cleaned masks)
-    sketch_gray: np.ndarray,  # (H, W) uint8
+    sketch_gray: np.ndarray,  # (H, W) uint8 HOST array (integral image)
     cfg: RefineConfig = RefineConfig(),
+    gray_dev=None,  # optional device (H, W) uint8: skips the per-image
+    # ink-plane upload (~0.55MB/image through the tunnel; the runner
+    # uploads the gray plane once and every refine stage thresholds it
+    # on device)
 ):
     """Async half of sketch_nms: host pre-filter + pairwise gates (boxes
     only), then the expensive ink-IoU matrix AND the greedy loop on device.
@@ -154,7 +158,8 @@ def sketch_nms_dispatch(
     cont = _is_contained(fb, fb, eps)
     gate = np.where(larger_is_i, cont, cont.T) & _share_corner(fb, eps)
 
-    ink = jnp.asarray(sketch_gray < cfg.ink_threshold)
+    ink = (gray_dev < cfg.ink_threshold) if gray_dev is not None \
+        else jnp.asarray(sketch_gray < cfg.ink_threshold)
     iou_sketch = ink_mask_iou_matrix(jnp.asarray(fm), ink)
     keep_dev = _greedy_nms_device(
         iou_sketch, jnp.asarray(gate),

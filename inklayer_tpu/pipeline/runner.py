@@ -372,6 +372,16 @@ class InkLayerPipeline:
         image_dev = self._img_cache.pop(input_path, None)
         if image_dev is None:
             image_dev = upload_image(image)
+        # device gray plane, uploaded/sliced ONCE: every refine stage
+        # thresholds it on device instead of uploading its own ink plane
+        # (~0.55MB x 4 stages/image through the tunnel otherwise).  For
+        # grayscale-in-RGB sketches PIL's L conversion is exactly channel 0
+        # (0.299+0.587+0.114 == 1), so the slice is free and bit-exact.
+        import jax.numpy as _jnp
+
+        gray_dev = (image_dev[..., 0]
+                    if np.array_equal(image[..., 0], gray)
+                    else _jnp.asarray(gray))
 
         # mmdetection alt path (refinement/bbox_filter.py:40-45): when
         # mmdet_out/*.json is present its boxes replace GDINO's before NMS,
@@ -448,7 +458,10 @@ class InkLayerPipeline:
                                     labels=det.get("labels")).save(
                 os.path.join(out_dir, "bboxes.png"))
 
-        self._submit(write_bbox_outputs)
+        # bboxes.json/.png are not in the --no_intermediate keep-list:
+        # skip the doomed draw+encode (host time on the writer threads)
+        if not no_intermediate:
+            self._submit(write_bbox_outputs)
 
         # ---- segmentation (masks stay on device) -------------------------
         import jax
@@ -517,11 +530,12 @@ class InkLayerPipeline:
 
         t0 = time.perf_counter()
         kept0, order0, keep_dev = sketch_nms_dispatch(
-            boxes_abs, scores, cleaned_dev, gray, cfg.refine)
+            boxes_abs, scores, cleaned_dev, gray, cfg.refine,
+            gray_dev=gray_dev)
         if len(kept0):
             fm = cleaned_dev[np.asarray(kept0)]
             dscores_dev, doverlap_dev = depth_stats_dispatch(
-                fm, gray, depth, cfg.refine)
+                fm, gray_dev, depth, cfg.refine)
             keep, dscores, doverlap = jax.device_get(
                 (keep_dev, dscores_dev, doverlap_dev))
             kept = kept0[order0[keep]]
@@ -568,12 +582,12 @@ class InkLayerPipeline:
             kept_masks = jnp.zeros((0, h, w), bool)
             kept_boxes = np.zeros((0, 4))
         disjoint_dev, sorted_boxes, _info = parse_masks_to_disjoint(
-            kept_masks, kept_boxes, gray, depth, cfg.refine,
+            kept_masks, kept_boxes, gray_dev, depth, cfg.refine,
             sort_result=sort_result)
         final_dev, extra_valid = improve_masks_deferred(
             disjoint_dev,
             np.asarray(sorted_boxes) if len(sorted_boxes) else np.zeros((0, 4)),
-            gray, cfg.refine)
+            gray_dev, cfg.refine)
         self.stage_times.add("refine", time.perf_counter() - t0)
 
         def write_final_outputs(disjoint_dev_, final_dev_, depth_u8_,

@@ -91,23 +91,31 @@ def main():
         pipe.run_dir(paths, out, no_intermediate=True, inpaint=False)
         pipe.run_dir(paths, out, no_intermediate=True, inpaint=False)
 
+        # UNPROFILED wall (the profiler itself costs seconds through the
+        # tunnel — its wall time is invalid, only its device track is)
+        pipe.stage_times.times.clear()
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pipe.run_dir(paths, out, no_intermediate=True, inpaint=False)
+            walls.append((time.perf_counter() - t0) * 1e3)
+        wall = float(np.median(walls))
+        st = dict(pipe.stage_times.times)
+
         tdir = _os.path.join(out, "trace")
-        t0 = time.perf_counter()
         with jax.profiler.trace(tdir):
             pipe.run_dir(paths, out, no_intermediate=True, inpaint=False)
-        wall = (time.perf_counter() - t0) * 1e3
         busy, top = device_busy_ms(tdir)
         n = args.n
         print(f"sweep n={n}: wall {wall:.0f} ms ({wall / n:.0f}/img, "
-              f"{n / wall * 1e3:.2f} sk/s)")
+              f"{n / wall * 1e3:.2f} sk/s) [unprofiled, median of 3]")
         print(f"device busy {busy:.0f} ms ({busy / n:.0f}/img) -> "
               f"host/RTT gap {(wall - busy) / n:.0f} ms/img")
         print(f"device-bound ceiling {n / busy * 1e3:.2f} sk/s")
-        print("top device ops (us):")
+        print("top device ops (profiled pass):")
         for name, dur in top:
             print(f"  {name:44s} {dur / 1e3:9.1f} ms")
-        st = dict(pipe.stage_times.times)
-        print("stage times (host-observed, s):",
+        print("stage times (host-observed over the 3 unprofiled runs, s):",
               {k: round(v, 2) for k, v in st.items()})
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -53,6 +53,7 @@ def test_rle_roundtrip(rng):
     assert rle["size"] == [13, 17]
 
 
+@pytest.mark.slow
 def test_amg_generate_tiny(rng):
     model = Sam(TINY)
     image = jnp.zeros((1, TINY.image_size, TINY.image_size, 3))

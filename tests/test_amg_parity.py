@@ -26,6 +26,8 @@ from inklayer_tpu.models.sam import Sam, SamPredictor
 from inklayer_tpu.models.sam.amg import SamAutomaticMaskGenerator
 from tests.test_sam_parity import TINY
 
+pytestmark = pytest.mark.slow  # heavyweight module: excluded from the -m quick tier
+
 SA = "/root/reference/InkLayer/third_party/segment-anything/segment_anything"
 
 

@@ -122,6 +122,7 @@ def test_sam_global_attention2_matches_sdpa(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_sam_encoder_fused_path_matches_fallback(rng, monkeypatch):
     """The fused TPU path and the aug-matmul fallback compute the same
     attention: fake the backend check, run the kernel in interpret mode."""
@@ -197,6 +198,7 @@ def test_sam_window_attention_interpret_matches_sdpa(rng, monkeypatch):
                                atol=5e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_sam_window_block_attention_matches_partitioned_kernel(rng):
     """The partition-free spatial window kernel (BlockSpec-addressed windows,
     interpret mode) vs the parity-tested per-window kernel on the same qkv."""
@@ -245,6 +247,7 @@ def test_sam_window_block_attention_matches_partitioned_kernel(rng):
                                np.asarray(got_sp), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_window_spatial_matches_partitioned_fallback(rng, monkeypatch):
     """The production spatial window path (unpadded-token qkv, bias-filled
     pad scatter, rel terms folded into the q projection, BlockSpec-addressed

@@ -71,6 +71,7 @@ def test_batched_sam_encoder_matches_direct(rng):
     enc.close()
 
 
+@pytest.mark.slow
 def test_pipeline_batched_encoder_wiring(rng):
     """SamPredictor.set_image routes through a shared BatchedSamEncoder when
     enabled, and produces identical masks to the direct path."""

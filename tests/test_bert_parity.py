@@ -14,6 +14,8 @@ from inklayer_tpu.config import BertConfig
 from inklayer_tpu.io import weights as W
 from inklayer_tpu.models.gdino.bert import BertEncoder
 
+pytestmark = pytest.mark.slow  # heavyweight module: excluded from the -m quick tier
+
 
 @pytest.fixture(scope="module")
 def hf_bert():

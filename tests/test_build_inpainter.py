@@ -25,6 +25,8 @@ from inklayer_tpu.io import weights as W
 
 from tests.test_weights_diffusion import _synthesize
 
+pytestmark = pytest.mark.slow  # heavyweight module: excluded from the -m quick tier
+
 
 def _tiny_cfg() -> PipelineConfig:
     d = dataclasses.replace(

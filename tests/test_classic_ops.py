@@ -58,6 +58,7 @@ def test_component_stats(rng):
     assert area[0, 0] == 0
 
 
+@pytest.mark.slow
 def test_clean_keep_fused_kernel_matches_xla_composition(rng):
     """Interpret-mode run of the fused CC+keep Pallas kernel vs the XLA
     connected_components + component_keep composition (the CPU path of

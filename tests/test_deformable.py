@@ -1,5 +1,6 @@
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from inklayer_tpu.ops.deformable import ms_deform_attn, ms_deform_attn_ref
 
@@ -96,6 +97,7 @@ def test_pallas_fused_v3_matches_oracle_interpret(rng):
         np.testing.assert_allclose(np.asarray(out), ref, atol=0.05, rtol=0.05)
 
 
+@pytest.mark.slow
 def test_pallas_tiled_matches_oracle_interpret(rng):
     """Tiled-window kernel (v5) vs the numpy oracle, interpret mode.
 

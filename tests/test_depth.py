@@ -1,9 +1,12 @@
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from inklayer_tpu.config import DepthConfig
 from inklayer_tpu.models.depth import DepthAnythingV2, DepthEstimator, depth_bucket
+
+pytestmark = pytest.mark.slow  # heavyweight module: excluded from the -m quick tier
 
 TINY = DepthConfig(
     encoder="tiny", embed_dim=32, depth=4, num_heads=2, patch_size=14,

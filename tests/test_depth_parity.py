@@ -18,6 +18,8 @@ from inklayer_tpu.config import DepthConfig
 from inklayer_tpu.io import weights as W
 from inklayer_tpu.models.depth import DepthAnythingV2 as OursDepth
 
+pytestmark = pytest.mark.slow  # heavyweight module: excluded from the -m quick tier
+
 REF = "/root/reference/InkLayer/third_party/Depth_Anything_V2/depth_anything_v2"
 
 

@@ -294,6 +294,7 @@ def test_fragment_merge_chain_parity(ref_mods, tmp_path):
     assert min(scores) >= 0.95, scores
 
 
+@pytest.mark.slow
 def test_improve_sam_masks_parity(ref_mods, tmp_path):
     """Full refinement (watershed + bbox-assign + unlabeled residual) at
     mask-IoU >= 0.95 on the synthetic scene."""

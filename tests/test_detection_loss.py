@@ -10,6 +10,8 @@ from inklayer_tpu.parallel.detection_loss import (
     greedy_assignment,
 )
 
+pytestmark = pytest.mark.slow  # heavyweight module: excluded from the -m quick tier
+
 
 def test_giou_known_values():
     a = jnp.asarray([[0.0, 0.0, 2.0, 2.0]])

@@ -15,6 +15,8 @@ from inklayer_tpu.models.diffusion import (
     UNet2DCondition,
 )
 
+pytestmark = pytest.mark.slow  # heavyweight module: excluded from the -m quick tier
+
 TINY = DiffusionConfig(
     resolution=64,
     num_steps=3,

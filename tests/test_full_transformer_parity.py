@@ -31,6 +31,8 @@ from inklayer_tpu.config import GDinoConfig
 from inklayer_tpu.io import weights as W
 from inklayer_tpu.models.gdino.transformer import GDinoTransformer, sine_pos_embed_hw
 
+pytestmark = pytest.mark.slow  # heavyweight module: excluded from the -m quick tier
+
 GD = ("/root/reference/InkLayer/third_party/GroundingDINO/groundingdino/"
       "models/GroundingDINO")
 

@@ -17,6 +17,8 @@ from inklayer_tpu.models.gdino.transformer import (
     sine_pos_embed_hw,
 )
 
+pytestmark = pytest.mark.slow  # heavyweight module: excluded from the -m quick tier
+
 TINY = GDinoConfig(
     hidden_dim=32,
     num_queries=12,

@@ -16,6 +16,8 @@ from tests.test_gdino import TINY as TINY_GDINO
 from tests.test_sam import TINY as TINY_SAM
 from tests.test_depth import TINY as TINY_DEPTH
 
+pytestmark = pytest.mark.slow  # heavyweight module: excluded from the -m quick tier
+
 TINY_PIPE = PipelineConfig(
     gdino=TINY_GDINO,
     sam=TINY_SAM,

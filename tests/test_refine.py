@@ -40,6 +40,7 @@ def _filled_mask(h, w, box):
     return m
 
 
+@pytest.mark.slow
 def test_clean_masks_removes_small_blobs():
     masks = np.zeros((2, 100, 100), np.uint8)
     masks[0, 20:70, 20:70] = 255  # big blob, kept
@@ -177,6 +178,7 @@ def test_composite_masks_front_wins():
     assert comp[0, 0] == 0
 
 
+@pytest.mark.slow
 def test_parse_and_improve_end_to_end():
     g = _sketch_with_rects()
     h, w = g.shape

@@ -53,6 +53,7 @@ def _blob(h, w, cy, cx, r):
     return ((yy - cy) ** 2 + (xx - cx) ** 2 <= r * r)
 
 
+@pytest.mark.slow
 def test_clean_up_mask_parity(ref_mods, rng):
     mc, _ = ref_mods
     from inklayer_tpu.pipeline.refine.mask_cleaner import run_clean_masks

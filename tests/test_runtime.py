@@ -30,6 +30,7 @@ def test_switch_false_off_tpu(monkeypatch):
     assert not rt.pallas_enabled()
 
 
+@pytest.mark.slow
 def test_sam_attention_grad_protected(monkeypatch):
     """With the backend reporting TPU, a differentiated SAM global-attention
     forward picks the (non-differentiable) Pallas path and grad fails;

@@ -51,6 +51,7 @@ def test_sam_end_to_end_tiny(rng):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_predictor_capacity_and_postprocess(rng):
     model = Sam(TINY)
     image = jnp.zeros((1, 64, 64, 3))

@@ -27,6 +27,8 @@ from PIL import Image
 from inklayer_tpu.build import build_pipeline
 from tests.test_pipeline import TINY_PIPE
 
+pytestmark = pytest.mark.slow  # heavyweight module: excluded from the -m quick tier
+
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "goldens",
                            "self_golden.json")
 

@@ -129,6 +129,7 @@ def test_get_images(app):
     assert "/static/uploads/x.png" in json.loads(body)["images"]
 
 
+@pytest.mark.slow
 def test_serve_with_real_tiny_pipeline(tmp_path):
     """Full /save-canvas-drawing -> /segment-sketch through the REAL (tiny)
     pipeline on CPU — the complete serving integration path."""
@@ -161,6 +162,7 @@ def test_serve_with_real_tiny_pipeline(tmp_path):
     assert os.path.exists(os.path.join(app.output_dir, "real", "masks_final"))
 
 
+@pytest.mark.slow
 def test_serve_micro_batch_factory(tmp_path):
     """micro_batch=True wires the shared BatchedSamEncoder into the lazily
     built pipeline; /segment-sketch still serves correctly through it."""
@@ -195,6 +197,7 @@ def test_serve_micro_batch_factory(tmp_path):
     app._pipeline._batched_encoder.close()
 
 
+@pytest.mark.slow
 def test_concurrent_requests_share_encoder_batch(tmp_path):
     """Two in-flight /segment-sketch requests run concurrently (per-image
     locks + semaphore, not one global lock) and their SAM ViT encodes share

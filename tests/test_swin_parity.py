@@ -19,6 +19,8 @@ from inklayer_tpu.config import SwinConfig
 from inklayer_tpu.io import weights as W
 from inklayer_tpu.models.gdino.swin import SwinTransformer
 
+pytestmark = pytest.mark.slow  # heavyweight module: excluded from the -m quick tier
+
 REF = ("/root/reference/InkLayer/third_party/GroundingDINO/groundingdino/"
        "models/GroundingDINO/backbone/swin_transformer.py")
 

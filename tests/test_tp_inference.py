@@ -12,6 +12,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from inklayer_tpu.parallel.mesh import make_mesh
 from inklayer_tpu.parallel.sharding import batch_sharding, param_sharding_rules
 
+pytestmark = pytest.mark.slow  # heavyweight module: excluded from the -m quick tier
+
 
 @pytest.fixture(scope="module")
 def sam_setup():

@@ -93,6 +93,7 @@ def test_label_flood_respects_region_and_barriers(lib):
     assert set(np.unique(ours[:, 42:])) <= {0, 2}
 
 
+@pytest.mark.slow
 def test_label_flood_full_resolution_caps(lib, rng):
     """VERDICT weak #7: sweep a realistic full-resolution (750^2) sketch-like
     scene and check the default iteration cap (RefineConfig.watershed_iters

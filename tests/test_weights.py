@@ -246,6 +246,7 @@ def _tiny_depth_torch_state_dict(rng):
     return d
 
 
+@pytest.mark.slow
 def test_depth_checkpoint_conversion_full_coverage(rng, tmp_path):
     from inklayer_tpu.models.depth import DepthAnythingV2
     from tests.test_depth import TINY as C

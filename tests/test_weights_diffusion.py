@@ -17,6 +17,8 @@ import torch
 
 from inklayer_tpu.io import weights as W
 
+pytestmark = pytest.mark.slow  # heavyweight module: excluded from the -m quick tier
+
 _INV_SHAPES = {
     "linear": lambda s: (s[1], s[0]),
     "conv": lambda s: (s[3], s[2], s[0], s[1]),
