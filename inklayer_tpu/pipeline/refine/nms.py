@@ -122,6 +122,31 @@ def sketch_nms_dispatch(
     Returns (kept0 prefilter indices, order, keep_dev) with NO device
     readback — the caller batches keep_dev into its next jax.device_get.
     Final kept indices = kept0[order[keep]]."""
+    kept0, order, gate, iou_bbox = nms_host_prefilter(
+        boxes, scores, sketch_gray, cfg)
+    if len(kept0) == 0:
+        return kept0, np.zeros((0,), int), jnp.zeros((0,), bool)
+
+    fm = masks[np.asarray(kept0)]
+    ink = (gray_dev < cfg.ink_threshold) if gray_dev is not None \
+        else jnp.asarray(sketch_gray < cfg.ink_threshold)
+    iou_sketch = ink_mask_iou_matrix(jnp.asarray(fm), ink)
+    keep_dev = _greedy_nms_device(
+        iou_sketch, jnp.asarray(gate),
+        jnp.asarray(np.where(gate, iou_bbox, 0.0)), jnp.asarray(order),
+        cfg.nms_iou, cfg.nms_bbox_iou_kill)
+    return kept0, order, keep_dev
+
+
+def nms_host_prefilter(
+    boxes: np.ndarray,  # (N, 4) xyxy pixels
+    scores: np.ndarray,  # (N,)
+    sketch_gray: np.ndarray,  # (H, W) uint8 HOST array
+    cfg: RefineConfig = RefineConfig(),
+):
+    """Host half of sketch NMS: the filter_full_or_empty_bbox pre-filter
+    plus the box-only pairwise gates.  Returns (kept0, order, gate,
+    iou_bbox); gate/iou_bbox are (K, K) over the kept0 rows."""
     n = len(boxes)
     h, w = sketch_gray.shape
     img_area = h * w
@@ -143,29 +168,20 @@ def sketch_nms_dispatch(
     few_contained = contains.sum(axis=1) <= cfg.nms_max_contained
     kept0 = np.nonzero(valid_area & has_content & few_contained)[0]
     if len(kept0) == 0:
-        return kept0, np.zeros((0,), int), jnp.zeros((0,), bool)
+        z = np.zeros((0, 0))
+        return kept0, np.zeros((0,), int), z.astype(bool), z
 
     fb = boxes[kept0]
     fs = scores[kept0]
-    fm = masks[np.asarray(kept0)]
     order = np.argsort(-fs)
 
-    # pairwise gates from boxes alone (host), uploaded async
     iou_bbox = bbox_iou_matrix(fb)
     eps = cfg.nms_eps_px_per_kdiag * (np.hypot(h, w) / 1000.0)
     areas_f = (fb[:, 2] - fb[:, 0]) * (fb[:, 3] - fb[:, 1])
     larger_is_i = areas_f[:, None] > areas_f[None, :]
     cont = _is_contained(fb, fb, eps)
     gate = np.where(larger_is_i, cont, cont.T) & _share_corner(fb, eps)
-
-    ink = (gray_dev < cfg.ink_threshold) if gray_dev is not None \
-        else jnp.asarray(sketch_gray < cfg.ink_threshold)
-    iou_sketch = ink_mask_iou_matrix(jnp.asarray(fm), ink)
-    keep_dev = _greedy_nms_device(
-        iou_sketch, jnp.asarray(gate),
-        jnp.asarray(np.where(gate, iou_bbox, 0.0)), jnp.asarray(order),
-        cfg.nms_iou, cfg.nms_bbox_iou_kill)
-    return kept0, order, keep_dev
+    return kept0, order, gate, iou_bbox
 
 
 def sketch_nms(

@@ -525,19 +525,25 @@ class InkLayerPipeline:
         # stack (per-mask independent), so the host can slice out the
         # NMS-surviving rows afterwards.
         from inklayer_tpu.pipeline.refine.depth_sort import (
-            containment_graph, depth_stats_dispatch, sort_order)
-        from inklayer_tpu.pipeline.refine.nms import sketch_nms_dispatch
+            containment_graph, sort_order)
+        from inklayer_tpu.pipeline.refine.front import nms_depth_front
+        from inklayer_tpu.pipeline.refine.nms import nms_host_prefilter
 
         t0 = time.perf_counter()
-        kept0, order0, keep_dev = sketch_nms_dispatch(
-            boxes_abs, scores, cleaned_dev, gray, cfg.refine,
-            gray_dev=gray_dev)
+        kept0, order0, gate, iou_bbox = nms_host_prefilter(
+            boxes_abs, scores, gray, cfg.refine)
         if len(kept0):
-            fm = cleaned_dev[np.asarray(kept0)]
-            dscores_dev, doverlap_dev = depth_stats_dispatch(
-                fm, gray_dev, depth, cfg.refine)
-            keep, dscores, doverlap = jax.device_get(
+            # ONE fused dispatch for the whole NMS + depth-stat device
+            # front, ONE readback for its results
+            keep_dev, dscores_dev, doverlap_dev = nms_depth_front(
+                kept0, gate, iou_bbox, order0, cleaned_dev, gray_dev,
+                depth, cfg.refine)
+            keep_p, dscores_p, doverlap_p = jax.device_get(
                 (keep_dev, dscores_dev, doverlap_dev))
+            k = len(kept0)
+            keep = keep_p[:k]
+            dscores = dscores_p[:k]
+            doverlap = doverlap_p[:k, :k]
             kept = kept0[order0[keep]]
         else:
             kept = np.zeros((0,), np.int64)

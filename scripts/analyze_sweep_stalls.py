@@ -9,8 +9,16 @@ which vanish on a real TPU VM (~0.2 ms RTT).
 
 Usage: python scripts/analyze_sweep_stalls.py [--n 4]
 
-(Measured results are appended below by the round-3 run; the projection
-methodology and numbers are recorded in BASELINE.md / ROADMAP.md.)
+Measured 2026-08-20 (quiet host, 4-image warm sweep, median of 3):
+  baseline (r02 code):     wall 751 ms/img under CPU contention; with the
+                           r02 tree the recorded bench sweep was 2.088 sk/s
+  + device gray plane:     wall 413 ms/img, 2.42 sk/s, gap 239 ms/img
+  + fused NMS/depth front: wall 414 ms/img, 2.41 sk/s, gap 240 ms/img
+                           (NMS host-block 103 -> 54 ms/img; the wall is
+                           wait-for-device-dominated so the saving moved
+                           the block, not the wall)
+  device busy: 174 ms/img -> ceiling 5.74 sk/s.
+Interpretation + real-TPU-VM projection recorded in ROADMAP.md item 3b.
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))

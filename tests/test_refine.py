@@ -237,3 +237,55 @@ def test_pack_bits_roundtrip(rng):
     np.testing.assert_array_equal(np.asarray(dev), m)
     empty = masks_to_host(jnp.zeros((0, 16, 16), bool))
     assert empty.shape == (0, 16, 16)
+
+
+def test_nms_depth_front_matches_unfused(rng):
+    """The single-jit fused NMS+depth-stat front (pipeline/refine/front.py)
+    must reproduce the unfused sketch_nms_dispatch + depth_stats_dispatch
+    path exactly (keep flags, depth scores, overlap matrix)."""
+    import jax
+    import jax.numpy as jnp
+
+    from inklayer_tpu.pipeline.refine.depth_sort import depth_stats_dispatch
+    from inklayer_tpu.pipeline.refine.front import nms_depth_front
+    from inklayer_tpu.pipeline.refine.nms import (nms_host_prefilter,
+                                                  sketch_nms_dispatch)
+
+    h = w = 96
+    gray = np.full((h, w), 255, np.uint8)
+    n = 6
+    boxes = []
+    masks = np.zeros((n, h, w), bool)
+    for i in range(n):
+        x0, y0 = 4 + 13 * i, 6 + 9 * i
+        x1, y1 = x0 + 24, y0 + 20
+        boxes.append([x0, y0, x1, y1])
+        masks[i, y0:y1, x0:x1] = rng.random((y1 - y0, x1 - x0)) > 0.4
+        gray[y0:y1, x0:x1] = np.where(masks[i, y0:y1, x0:x1], 30,
+                                      gray[y0:y1, x0:x1])
+    # a duplicate of mask 0 to exercise suppression
+    masks[n - 1] = masks[0]
+    boxes[n - 1] = list(boxes[0])
+    boxes = np.asarray(boxes, float)
+    scores = rng.random(n)
+    depth = rng.random((h, w)).astype(np.float32)
+    masks_dev = jnp.asarray(masks)
+    gray_dev = jnp.asarray(gray)
+    depth_dev = jnp.asarray(depth)
+
+    kept0, order0, keep_dev = sketch_nms_dispatch(
+        boxes, scores, masks_dev, gray)
+    assert len(kept0) >= 2
+    ds_dev, ov_dev = depth_stats_dispatch(
+        masks_dev[np.asarray(kept0)], gray, depth)
+    keep_u, ds_u, ov_u = jax.device_get((keep_dev, ds_dev, ov_dev))
+
+    kept0f, orderf, gate, iou_bbox = nms_host_prefilter(
+        boxes, scores, gray)
+    np.testing.assert_array_equal(kept0f, kept0)
+    keep_f, ds_f, ov_f = jax.device_get(nms_depth_front(
+        kept0f, gate, iou_bbox, orderf, masks_dev, gray_dev, depth_dev))
+    k = len(kept0)
+    np.testing.assert_array_equal(keep_f[:k], keep_u)
+    np.testing.assert_allclose(ds_f[:k], ds_u, rtol=1e-6)
+    np.testing.assert_array_equal(ov_f[:k, :k], ov_u)
