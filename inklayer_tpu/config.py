@@ -263,6 +263,14 @@ class PipelineConfig:
     out_dir: str = "./output"
     keep_intermediate: bool = True
     inpaint: bool = False
+    # Dispatch the capacity-K mask/clean/NMS front BEFORE the detect
+    # readback (zero device idle between stages).  Byte-identical outputs
+    # (parity + self-golden tested).  Default OFF: through a remote-device
+    # transport whose readbacks drain the whole queue (the axon tunnel),
+    # fronting the dispatch makes the detect readback wait on the entire
+    # mask path (measured 505 vs 414 ms/img).  Turn ON for PCIe-local TPU
+    # VMs where readbacks complete as their buffers become ready.
+    device_front: bool = False
 
 
 # ---------------------------------------------------------------------------

@@ -50,6 +50,105 @@ def _front(masks, gray, depth, sel, valid, gate, bbox_ov, order, *,
     return keep, dscores, overlap
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "hw", "max_area_frac", "max_contained", "eps_per_kdiag", "thresh"))
+def _device_prefilter_gates(boxes_cxcywh, scores, gray, *, hw,
+                            max_area_frac: float, max_contained: int,
+                            eps_per_kdiag: float, thresh: float):
+    """Device port of nms_host_prefilter over the FIXED top-K capacity:
+    score thresholding (the surviving detections are a score-sorted prefix
+    of top-K), filter_full_or_empty_bbox, and the box-only pairwise gates.
+    Returns (valid (K,), gate (K,K), gated bbox-IoU (K,K), order (K,)) —
+    all device, so the fused NMS front can dispatch WITHOUT waiting for
+    the detect readback.  f32 where the host path used f64 (boxes are
+    integer-valued after truncation and < 2^24, so the arithmetic is
+    exact; only the corner-distance eps comparison could differ at f32
+    rounding, ~1e-4 px)."""
+    h, w = hw
+    bx = boxes_cxcywh.astype(jnp.float32)
+    half = bx[:, 2:4] / 2
+    xyxy = jnp.concatenate(
+        [(bx[:, 0:2] - half) * jnp.asarray([w, h], jnp.float32),
+         (bx[:, 0:2] + half) * jnp.asarray([w, h], jnp.float32)], axis=1)
+    b = jnp.trunc(xyxy)  # host parity: astype(int) truncates
+    k = b.shape[0]
+    valid_t = scores > thresh
+
+    areas = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    valid_area = areas / (h * w) < max_area_frac
+    ii = jnp.pad((gray > 0).astype(jnp.int32), ((1, 0), (1, 0))
+                 ).cumsum(0).cumsum(1)
+    xs1 = jnp.clip(b[:, 0], 0, w - 1).astype(jnp.int32)
+    ys1 = jnp.clip(b[:, 1], 0, h - 1).astype(jnp.int32)
+    xs2 = jnp.clip(b[:, 2], 0, w - 1).astype(jnp.int32) + 1
+    ys2 = jnp.clip(b[:, 3], 0, h - 1).astype(jnp.int32) + 1
+    nz = (ii[ys2, xs2] - ii[ys1, xs2] - ii[ys2, xs1] + ii[ys1, xs1])
+    has_content = nz > 0
+
+    # strict containment count — only real (thresholded) boxes count as
+    # containment targets, matching the host path's n-box universe
+    contains = ((b[:, None, 0] <= b[None, :, 0])
+                & (b[:, None, 1] <= b[None, :, 1])
+                & (b[:, None, 2] >= b[None, :, 2])
+                & (b[:, None, 3] >= b[None, :, 3])
+                & ~jnp.eye(k, dtype=bool)) & valid_t[None, :]
+    few_contained = contains.sum(axis=1) <= max_contained
+    valid = valid_t & valid_area & has_content & few_contained
+
+    # pairwise gates (nms_host_prefilter math)
+    x1 = jnp.maximum(b[:, None, 0], b[None, :, 0])
+    y1 = jnp.maximum(b[:, None, 1], b[None, :, 1])
+    x2 = jnp.minimum(b[:, None, 2], b[None, :, 2])
+    y2 = jnp.minimum(b[:, None, 3], b[None, :, 3])
+    inter = jnp.where((x2 >= x1) & (y2 >= y1), (x2 - x1) * (y2 - y1), 0.0)
+    union = areas[:, None] + areas[None, :] - inter
+    iou_bbox = jnp.where(union > 0, inter / union, 0.0)
+    eps = jnp.float32(eps_per_kdiag) * (
+        jnp.sqrt(jnp.float32(h) ** 2 + jnp.float32(w) ** 2) / 1000.0)
+    larger_is_i = areas[:, None] > areas[None, :]
+    cont = ((b[:, None, 0] - eps <= b[None, :, 0])
+            & (b[:, None, 1] - eps <= b[None, :, 1])
+            & (b[:, None, 2] + eps >= b[None, :, 2])
+            & (b[:, None, 3] + eps >= b[None, :, 3]))
+    corners = jnp.stack([b[:, jnp.asarray([0, 1])], b[:, jnp.asarray([0, 3])],
+                         b[:, jnp.asarray([2, 1])], b[:, jnp.asarray([2, 3])]],
+                        axis=1)  # (K, 4, 2)
+    d = jnp.linalg.norm(
+        corners[:, None, :, None, :] - corners[None, :, None, :, :], axis=-1)
+    share = (d <= eps).any(axis=(2, 3))
+    gate = jnp.where(larger_is_i, cont, cont.T) & share
+    gate = gate & valid[:, None] & valid[None, :]
+    key = jnp.where(valid, scores.astype(jnp.float32), -jnp.inf)
+    order = jnp.argsort(-key).astype(jnp.int32)
+    return valid, gate, jnp.where(gate, iou_bbox, 0.0), order
+
+
+def nms_depth_front_device(boxes_dev, scores_dev, cleaned_dev, gray_dev,
+                           depth_dev, hw,
+                           cfg: RefineConfig = RefineConfig(),
+                           box_threshold: float = 0.2):
+    """Detect-readback-free front: prefilter, gates, NMS and depth stats
+    all dispatched from device-resident detect outputs (top-K cxcywh boxes
+    + scores).  Returns (valid, order, keep, dscores, overlap) device
+    arrays over the K capacity — the caller folds them into one
+    device_get.  Host kept indices = order[keep & valid[order]]."""
+    h = gray_dev.shape[0]
+    k = cleaned_dev.shape[0]
+    valid, gate, bb_gated, order = _device_prefilter_gates(
+        boxes_dev, scores_dev, gray_dev, hw=hw,
+        max_area_frac=cfg.nms_max_area_frac,
+        max_contained=cfg.nms_max_contained,
+        eps_per_kdiag=cfg.nms_eps_px_per_kdiag, thresh=box_threshold)
+    cell = max(1, int(round(h * cfg.sample_radius_frac)))
+    keep, dscores, overlap = _front(
+        cleaned_dev, gray_dev, depth_dev,
+        jnp.arange(k, dtype=jnp.int32), valid, gate, bb_gated, order,
+        ink_thr=cfg.ink_threshold, cell=cell, thr_s=cfg.nms_iou,
+        thr_b=cfg.nms_bbox_iou_kill, thr_overlap=cfg.overlap_major_frac,
+        bin_width=cfg.depth_bin)
+    return valid, order, keep, dscores, overlap
+
+
 def nms_depth_front(kept0, gate, iou_bbox, order, masks_dev, gray_dev,
                     depth_dev, cfg: RefineConfig = RefineConfig()):
     """Dispatch the fused front; returns (keep_dev, dscores_dev,

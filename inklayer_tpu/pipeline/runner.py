@@ -436,6 +436,38 @@ class InkLayerPipeline:
         depth_u8 = _quantize_depth(depth)
         self.stage_times.add("depth", time.perf_counter() - t0)
 
+        # ---- detect-readback-free device front ---------------------------
+        # When the detect->SAM chain is live, the ENTIRE mask path up to the
+        # NMS keep flags dispatches from device-resident detect outputs:
+        # capacity-K masks, cleaning, the device NMS prefilter+gates and the
+        # fused NMS/depth-stat front all queue BEFORE the detect readback,
+        # so the device streams straight through while the host decodes the
+        # detections (previously the device idled between cleaning and the
+        # front while the host ran the prefilter on read-back boxes).
+        import jax
+        import jax.numpy as jnp
+
+        from inklayer_tpu.pipeline.refine.front import (nms_depth_front,
+                                                        nms_depth_front_device)
+        from inklayer_tpu.pipeline.refine.mask_cleaner import clean_masks_device
+
+        device_front = None
+        masks_dev = cleaned_dev = None
+        if lowres_dev is not None and not mmdet_json and cfg.device_front:
+            t0 = time.perf_counter()
+            cap = int(lowres_dev.shape[0])
+            masks_dev = self.sam.masks_from_lowres(sam_state, lowres_dev, cap)
+            self.stage_times.add("segment", time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            cleaned_dev = clean_masks_device(masks_dev, cfg.refine)
+            self.stage_times.add("clean", time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            device_front = nms_depth_front_device(
+                boxes_dev, _scores_dev, cleaned_dev, gray_dev, depth,
+                (h, w), cfg.refine,
+                box_threshold=self.detector.cfg.box_threshold)
+            self.stage_times.add("nms", time.perf_counter() - t0)
+
         # ---- detection -------------------------------------------------
         t0 = time.perf_counter()
         det = det_fin() if callable(det_fin) else det_fin
@@ -464,18 +496,18 @@ class InkLayerPipeline:
             self._submit(write_bbox_outputs)
 
         # ---- segmentation (masks stay on device) -------------------------
-        import jax
-        import jax.numpy as jnp
-
         from inklayer_tpu.ops.bits import masks_to_host
 
+        n_det = len(boxes_abs)
         t0 = time.perf_counter()
-        if len(boxes_abs) and lowres_dev is not None:
+        if device_front is not None:
+            pass  # capacity-K masks computed before the detect readback
+        elif n_det and lowres_dev is not None:
             # chained path: low-res logits already computed for the top-K
             # prefix during the detect readback
             masks_dev = self.sam.masks_from_lowres(sam_state, lowres_dev,
-                                                   len(boxes_abs))
-        elif len(boxes_abs):
+                                                   n_det)
+        elif n_det:
             masks_dev, _iou = self.sam.predict_device_state(sam_state,
                                                             boxes_abs)
         else:
@@ -492,19 +524,21 @@ class InkLayerPipeline:
         # (io/outputs.KEEP_LIST) — skip the device->host transfers entirely
         # (they dominate wall time through slow interconnects)
         if not no_intermediate:
-            self._submit(write_sam_outputs, masks_dev)
+            # capacity-K stacks are sliced to the surviving prefix: rows
+            # [:n_det] are bit-identical to the unchained per-n compute
+            # (every mask op is per-mask independent)
+            self._submit(write_sam_outputs, masks_dev[:n_det])
 
         # ---- mask cleaning (device) --------------------------------------
-        from inklayer_tpu.pipeline.refine.mask_cleaner import clean_masks_device
-
         t0 = time.perf_counter()
-        cleaned_dev = clean_masks_device(masks_dev, cfg.refine)
+        if cleaned_dev is None:
+            cleaned_dev = clean_masks_device(masks_dev, cfg.refine)
         self.stage_times.add("clean", time.perf_counter() - t0)
         if not no_intermediate:
             self._submit(
                 lambda cd: io_out.save_masks_dir(
                     masks_to_host(cd), os.path.join(out_dir, "masks_cleaned")),
-                cleaned_dev)
+                cleaned_dev[:n_det])
 
         # ---- sketch NMS (IoU matrix on device) ---------------------------
         if mmdet_json:  # mmdetection alt path (globbed above)
@@ -530,23 +564,36 @@ class InkLayerPipeline:
         from inklayer_tpu.pipeline.refine.nms import nms_host_prefilter
 
         t0 = time.perf_counter()
-        kept0, order0, gate, iou_bbox = nms_host_prefilter(
-            boxes_abs, scores, gray, cfg.refine)
-        if len(kept0):
-            # ONE fused dispatch for the whole NMS + depth-stat device
-            # front, ONE readback for its results
-            keep_dev, dscores_dev, doverlap_dev = nms_depth_front(
-                kept0, gate, iou_bbox, order0, cleaned_dev, gray_dev,
-                depth, cfg.refine)
-            keep_p, dscores_p, doverlap_p = jax.device_get(
-                (keep_dev, dscores_dev, doverlap_dev))
-            k = len(kept0)
-            keep = keep_p[:k]
-            dscores = dscores_p[:k]
-            doverlap = doverlap_p[:k, :k]
-            kept = kept0[order0[keep]]
+        if device_front is not None:
+            # everything already dispatched before the detect readback:
+            # one batched readback of the K-capacity results; stats stay
+            # in K-index space so `rows` below are the kept indices
+            valid_np, order_np, keep_np, dscores, doverlap = \
+                jax.device_get(device_front)
+            sel = keep_np & valid_np[order_np]
+            kept = order_np[sel].astype(np.int64)
+            rows_of_kept = kept
         else:
-            kept = np.zeros((0,), np.int64)
+            kept0, order0, gate, iou_bbox = nms_host_prefilter(
+                boxes_abs, scores, gray, cfg.refine)
+            if len(kept0):
+                # ONE fused dispatch for the whole NMS + depth-stat device
+                # front, ONE readback for its results
+                keep_dev, dscores_dev, doverlap_dev = nms_depth_front(
+                    kept0, gate, iou_bbox, order0, cleaned_dev, gray_dev,
+                    depth, cfg.refine)
+                keep_p, dscores_p, doverlap_p = jax.device_get(
+                    (keep_dev, dscores_dev, doverlap_dev))
+                k = len(kept0)
+                keep = keep_p[:k]
+                dscores = dscores_p[:k]
+                doverlap = doverlap_p[:k, :k]
+                kept = kept0[order0[keep]]
+                pos = {int(o): i for i, o in enumerate(kept0)}
+                rows_of_kept = np.asarray([pos[int(i)] for i in kept])
+            else:
+                kept = np.zeros((0,), np.int64)
+                rows_of_kept = kept
         self.stage_times.add("nms", time.perf_counter() - t0)
         final_norm = [xyxy_norm[i].tolist() for i in kept]
         final_data = {
@@ -579,8 +626,7 @@ class InkLayerPipeline:
                   int(xyxy_norm[i][2] * w), int(xyxy_norm[i][3] * h)]
                  for i in kept], float)
             # depth-sort order from the stats that rode the NMS readback
-            pos = {int(o): i for i, o in enumerate(kept0)}
-            rows = np.asarray([pos[int(i)] for i in kept])
+            rows = rows_of_kept
             cont = containment_graph(kept_boxes, (h, w), cfg.refine)
             sort_result = sort_order(dscores[rows], cont,
                                      doverlap[np.ix_(rows, rows)])

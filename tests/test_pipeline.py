@@ -248,3 +248,29 @@ def test_output_contract_matches_reference_golden(pipeline, sketch_file,
     assert im.size == in_im.size  # depth map at input resolution
     seg = Image.open(os.path.join(out_dir, "segmented_sketch_final.png"))
     assert seg.mode == "RGB" and seg.size == in_im.size
+
+
+def test_device_front_mode_matches_default(tmp_path, sketch_file):
+    """cfg.device_front=True (mask/clean/NMS front dispatched before the
+    detect readback — the PCIe-local TPU VM mode) must produce byte-equal
+    outputs to the default ordering."""
+    import dataclasses
+    import json
+
+    pa = build_pipeline(TINY_PIPE)
+    pa.inpainter = None
+    da = pa.run(sketch_file, str(tmp_path / "a"))
+    pb = build_pipeline(dataclasses.replace(TINY_PIPE, device_front=True))
+    pb.inpainter = None
+    db = pb.run(sketch_file, str(tmp_path / "b"))
+
+    ja = json.load(open(os.path.join(da, "bboxes_final.json")))
+    jb = json.load(open(os.path.join(db, "bboxes_final.json")))
+    assert ja == jb
+    ma = sorted(os.listdir(os.path.join(da, "masks_final")))
+    mb = sorted(os.listdir(os.path.join(db, "masks_final")))
+    assert ma == mb
+    for name in ma:
+        a = np.asarray(Image.open(os.path.join(da, "masks_final", name)))
+        b = np.asarray(Image.open(os.path.join(db, "masks_final", name)))
+        np.testing.assert_array_equal(a, b)

@@ -289,3 +289,50 @@ def test_nms_depth_front_matches_unfused(rng):
     np.testing.assert_array_equal(keep_f[:k], keep_u)
     np.testing.assert_allclose(ds_f[:k], ds_u, rtol=1e-6)
     np.testing.assert_array_equal(ov_f[:k, :k], ov_u)
+
+
+def test_device_prefilter_matches_host(rng):
+    """_device_prefilter_gates (detect-readback-free front) must reproduce
+    nms_host_prefilter's valid set, gates and ordering from device-resident
+    top-K cxcywh boxes + scores."""
+    import jax
+    import jax.numpy as jnp
+
+    from inklayer_tpu.pipeline.refine.front import _device_prefilter_gates
+    from inklayer_tpu.pipeline.refine.nms import nms_host_prefilter
+
+    h, w = 96, 80
+    gray = np.full((h, w), 255, np.uint8)
+    gray[10:80, 8:70] = (rng.random((70, 62)) * 255).astype(np.uint8)
+    K = 12
+    cx = rng.random(K) * 0.8 + 0.1
+    cy = rng.random(K) * 0.8 + 0.1
+    bw = rng.random(K) * 0.4 + 0.05
+    bh = rng.random(K) * 0.4 + 0.05
+    boxes_cxcywh = np.stack([cx, cy, bw, bh], -1).astype(np.float32)
+    scores = np.sort(rng.random(K).astype(np.float32))[::-1].copy()
+    thresh = float(scores[8])  # 8 boxes survive (> is strict)
+
+    valid, gate, bb_gated, order = jax.device_get(_device_prefilter_gates(
+        jnp.asarray(boxes_cxcywh), jnp.asarray(scores), jnp.asarray(gray),
+        hw=(h, w), max_area_frac=0.9, max_contained=5,
+        eps_per_kdiag=8.0, thresh=thresh))
+
+    n = int((scores > thresh).sum())
+    xyxy = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], -1)
+    boxes_abs = (xyxy[:n] * np.asarray([w, h, w, h])).astype(int).astype(float)
+    from inklayer_tpu.config import RefineConfig
+
+    cfg = RefineConfig(nms_max_area_frac=0.9, nms_max_contained=5,
+                       nms_eps_px_per_kdiag=8.0)
+    kept0, order0, gate_h, iou_h = nms_host_prefilter(
+        boxes_abs, scores[:n], gray, cfg)
+
+    np.testing.assert_array_equal(np.nonzero(valid)[0], kept0)
+    # device gates live in K-space; host in kept0-space
+    np.testing.assert_array_equal(gate[np.ix_(kept0, kept0)], gate_h)
+    np.testing.assert_allclose(bb_gated[np.ix_(kept0, kept0)],
+                               np.where(gate_h, iou_h, 0.0), atol=1e-5)
+    # ordering restricted to valid rows matches the host score order
+    dev_valid_order = [i for i in order if valid[i]]
+    np.testing.assert_array_equal(dev_valid_order, kept0[order0])
