@@ -264,8 +264,12 @@ class PipelineConfig:
     keep_intermediate: bool = True
     inpaint: bool = False
     # Dispatch the capacity-K mask/clean/NMS front BEFORE the detect
-    # readback (zero device idle between stages).  Byte-identical outputs
-    # (parity + self-golden tested).  Default OFF: through a remote-device
+    # readback (zero device idle between stages).  Outputs match the host
+    # front on the parity + self-golden suites; the box-corner arithmetic
+    # runs in f32 on device vs f64 on host, so a product landing exactly
+    # on a pixel boundary can flip a 1-px truncation in rare cases (not
+    # guaranteed byte-identical for all inputs).  Default OFF: through a
+    # remote-device
     # transport whose readbacks drain the whole queue (the axon tunnel),
     # fronting the dispatch makes the detect readback wait on the entire
     # mask path (measured 505 vs 414 ms/img).  Turn ON for PCIe-local TPU

@@ -60,10 +60,11 @@ def _device_prefilter_gates(boxes_cxcywh, scores, gray, *, hw,
     of top-K), filter_full_or_empty_bbox, and the box-only pairwise gates.
     Returns (valid (K,), gate (K,K), gated bbox-IoU (K,K), order (K,)) —
     all device, so the fused NMS front can dispatch WITHOUT waiting for
-    the detect readback.  f32 where the host path used f64 (boxes are
-    integer-valued after truncation and < 2^24, so the arithmetic is
-    exact; only the corner-distance eps comparison could differ at f32
-    rounding, ~1e-4 px)."""
+    the detect readback.  f32 where the host path used f64: the
+    cxcywh->xyxy product can round to a different integer part than the
+    host's f64 near an exact pixel boundary, flipping a 1-px truncation
+    (rare; parity/self-golden tested but not guaranteed byte-identical),
+    and the corner-distance eps comparison can differ by ~1e-4 px."""
     h, w = hw
     bx = boxes_cxcywh.astype(jnp.float32)
     half = bx[:, 2:4] / 2

@@ -157,6 +157,10 @@ class InkLayerPipeline:
         # B's futures before B awaited them (B could then return with PNGs
         # still in flight)
         self._local = threading.local()
+        # diffusion serializes on the device anyway (run_dir uses workers=1
+        # for the same reason); a single-slot lock bounds device memory to
+        # one in-flight 768² sample when serve runs concurrent requests
+        self.inpaint_lock = threading.Lock()
         self._batched_encoder = None
         self._det_cache: dict = {}
         self._sam_state_cache: dict = {}
@@ -691,7 +695,8 @@ class InkLayerPipeline:
                       "skipping (provide diffusion weights to enable).")
             else:
                 t0 = time.perf_counter()
-                self.inpainter.run_on_sketch_dir(out_dir)
+                with self.inpaint_lock:
+                    self.inpainter.run_on_sketch_dir(out_dir)
                 self.stage_times.add("inpaint", time.perf_counter() - t0)
 
         if no_intermediate:

@@ -12,6 +12,7 @@ backend never defined (canvas_ui.js:456,496).
 from __future__ import annotations
 
 import base64
+import contextlib
 import glob
 import io
 import json
@@ -87,7 +88,10 @@ class InkLayerApp:
             max_concurrency = 4 if micro_batch else 1
         self._sem = threading.BoundedSemaphore(max_concurrency)
         self._build_lock = threading.Lock()  # lazy pipeline build, once
-        self._name_locks: dict = {}  # image name -> lock
+        # out-dir key -> [lock, refcount]; entries are refcounted and
+        # evicted when no request holds them (names are client-chosen, so
+        # a keep-forever dict is an unbounded-memory vector)
+        self._name_locks: dict = {}
         self._name_locks_guard = threading.Lock()
         if (pipeline is not None and micro_batch
                 and hasattr(pipeline, "enable_batched_encoder")):
@@ -108,9 +112,22 @@ class InkLayerApp:
                     self._pipeline = pipe
         return self._pipeline
 
-    def _image_lock(self, name: str) -> threading.Lock:
+    @contextlib.contextmanager
+    def _image_lock(self, name: str):
+        # key on the extension-stripped basename — the pipeline's output
+        # directory key — so 'a.png' and 'a.jpg' (same out dir) serialize
+        key = os.path.basename(name).split(".")[0]
         with self._name_locks_guard:
-            return self._name_locks.setdefault(name, threading.Lock())
+            entry = self._name_locks.setdefault(key, [threading.Lock(), 0])
+            entry[1] += 1
+        try:
+            with entry[0]:
+                yield
+        finally:
+            with self._name_locks_guard:
+                entry[1] -= 1
+                if entry[1] == 0:
+                    self._name_locks.pop(key, None)
 
     # ------------------------------------------------------------------
     def __call__(self, environ, start_response):
@@ -272,9 +289,13 @@ class InkLayerApp:
                 return self._json_resp({"error": "inpainting not configured"},
                                        "500 Internal Server Error")
             # text-guided single-layer edit: user prompt, cfg 7.0, cond 0.6,
-            # one pass (reference inpaint_single_layer.py:52-61)
-            result = inpainter.inpaint_single_layer(
-                image, Image.fromarray(rect.astype(np.uint8) * 255), prompt)
+            # one pass (reference inpaint_single_layer.py:52-61).  The
+            # single-slot inpaint lock serializes diffusion across
+            # concurrent requests (one in-flight 768² sample on device).
+            with self.pipeline.inpaint_lock:
+                result = inpainter.inpaint_single_layer(
+                    image, Image.fromarray(rect.astype(np.uint8) * 255),
+                    prompt)
         # RGBA restricted to the mask (inpaint_single_layer.py:70-85)
         arr = np.asarray(result.convert("RGB"))
         rgba = np.dstack([arr, (rect * 255).astype(np.uint8)])

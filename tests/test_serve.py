@@ -306,3 +306,60 @@ def test_get_layers_for_processed_image(app):
     status, body = call(app, "GET", "/get-images/nope")
     assert status == "200 OK"
     assert json.loads(body)["layers"] == []
+
+
+def test_concurrent_inpaint_serializes_on_single_slot_lock(tmp_path):
+    """Concurrent /inpaint requests for DIFFERENT images must not run the
+    diffusion stage concurrently: they serialize on pipeline.inpaint_lock
+    (one in-flight 768² sample on device; diffusion serializes there
+    anyway, mirroring run_dir's workers=1 choice)."""
+    import threading
+    import time as _time
+
+    inflight = {"n": 0, "max": 0}
+    guard = threading.Lock()
+
+    class FakeInpainter:
+        def inpaint_single_layer(self, image, mask, prompt):
+            with guard:
+                inflight["n"] += 1
+                inflight["max"] = max(inflight["max"], inflight["n"])
+            _time.sleep(0.05)
+            with guard:
+                inflight["n"] -= 1
+            return Image.new("RGB", image.size, (255, 255, 255))
+
+    class FakeInpaintPipeline(FakePipeline):
+        def __init__(self):
+            super().__init__()
+            self.inpainter = FakeInpainter()
+            self.inpaint_lock = threading.Lock()
+
+    app = InkLayerApp(pipeline=FakeInpaintPipeline(), root_dir=str(tmp_path))
+    for name in ("imgA", "imgB"):
+        out = os.path.join(app.output_dir, name)
+        os.makedirs(os.path.join(out, "masks_disjoint"), exist_ok=True)
+        m = np.zeros((16, 16), np.uint8)
+        m[4:12, 4:12] = 255
+        Image.fromarray(m).save(os.path.join(out, "masks_disjoint",
+                                             "mask_0.png"))
+        Image.fromarray(np.full((16, 16, 3), 255, np.uint8)).save(
+            os.path.join(out, "input.png"))
+
+    results = {}
+
+    def inpaint(name):
+        status, body = call(app, "POST", "/inpaint", json.dumps({
+            "image_name": name, "layer_id": 0,
+            "layer_path": f"/static/outputs/{name}/x.png",
+            "prompt": "a sketch"}).encode())
+        results[name] = status
+
+    threads = [threading.Thread(target=inpaint, args=(n,))
+               for n in ("imgA", "imgB")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == {"imgA": "200 OK", "imgB": "200 OK"}
+    assert inflight["max"] == 1, "diffusion ran concurrently"
