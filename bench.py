@@ -154,12 +154,88 @@ def measure_throughput(batch: int = 4, iters: int = 5):
     return batch * iters / dt
 
 
-def measure_full_pipeline(iters: int = 3):
+# Round-3 measured tunnel RTT band: 24-35 ms per host<->device sync.  A
+# capture whose measured RTT exceeds this baseline materially is weather,
+# not a code regression — the WEATHER flag makes that decidable from the
+# artifact alone (VERDICT r03 next #1/#7).
+RTT_BASELINE_MS = 35.0
+
+
+def measure_rtt_ms(n: int = 12) -> float:
+    """Median round-trip of a trivial jitted scalar readback — the per-sync
+    transport cost every data-dependent host sync pays."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.float32(0)
+    float(f(x))  # compile
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(ts))
+
+
+def weather_flag(rtt_ms: float, times_ms,
+                 rtt_baseline: float = RTT_BASELINE_MS,
+                 host_load: float = 0.0) -> str:
+    """'OK' or a WEATHER message.  Flags (a) transport RTT above the
+    recorded baseline band, (b) high run-to-run spread in the timed iters,
+    (c) a busy host (the e2e path has real host-side PNG/NMS work; a loaded
+    machine inflates it — measured 516 -> 630 ms p50 under a concurrent
+    test-suite run with RTT unchanged) — any of these makes the capture
+    unrepresentative of the code."""
+    msgs = []
+    if rtt_ms > rtt_baseline * 1.25:
+        msgs.append(f"rtt {rtt_ms:.1f} ms > {rtt_baseline:.0f} ms baseline")
+    if len(times_ms) >= 2:
+        spread = max(times_ms) / max(min(times_ms), 1e-9)
+        if spread > 1.4:
+            msgs.append(f"iter spread {spread:.2f}x (max/min)")
+    ncpu = os.cpu_count() or 1
+    if host_load > 0.5 * ncpu:
+        msgs.append(f"host load {host_load:.1f} on {ncpu} cpus")
+    return "WEATHER: " + "; ".join(msgs) if msgs else "OK"
+
+
+def assemble_e2e_fields(times_ms, sweep_ts_s, n_sweep, syncs_per_img,
+                        busy_ms_per_img, rtt_ms,
+                        host_load: float = 0.0) -> dict:
+    """Pure assembly of the e2e attribution fields (schema pinned by
+    tests/test_bench_schema.py)."""
+    p50 = float(np.percentile(times_ms, 50))
+    fields = {
+        "e2e_full_pipeline_p50_ms": round(p50, 1),
+        "e2e_full_pipeline_min_ms": round(float(min(times_ms)), 1),
+        "e2e_iters": len(times_ms),
+        "e2e_sketches_per_sec_per_chip": round(1e3 / p50, 3),
+        "e2e_sweep_sketches_per_sec_per_chip":
+            round(n_sweep / float(np.median(sweep_ts_s)), 3),
+        "e2e_sweep_best_sketches_per_sec_per_chip":
+            round(n_sweep / float(min(sweep_ts_s)), 3),
+        "syncs_per_img": round(float(syncs_per_img), 2),
+        "device_busy_ms_per_img": (round(float(busy_ms_per_img), 1)
+                                   if busy_ms_per_img is not None else None),
+        "rtt_ms": round(rtt_ms, 1),
+        "rtt_baseline_ms": RTT_BASELINE_MS,
+        "host_load_1m": round(float(host_load), 2),
+    }
+    fields["weather"] = weather_flag(rtt_ms, times_ms, host_load=host_load)
+    return fields
+
+
+def measure_full_pipeline(iters: int = 5):
     """Warm FULL pipeline (detect -> segment -> clean -> NMS -> depth ->
     refine -> output contract, --no_intermediate) — the BASELINE.json
     'sketches/sec per chip end-to-end' metric.  Covers everything the
     reference's run_inklayer_pipeline does except inpainting (runner.py:21-103
-    scope; --inpaint is a separate opt-in stage there too)."""
+    scope; --inpaint is a separate opt-in stage there too).
+
+    Returns the attribution dict from assemble_e2e_fields: min/median over
+    >=iters runs, per-image host-sync count, device-busy ms/img from one
+    profiler-traced run, and the measured transport RTT + WEATHER flag."""
     import shutil
     import tempfile
 
@@ -178,12 +254,32 @@ def measure_full_pipeline(iters: int = 3):
         Image.fromarray(arr).save(src)
     try:
         pipe.run(src, out, no_intermediate=True, inpaint=False)  # warm/compile
+        pipe.drain()
+        sync0 = pipe.sync_count
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
             pipe.run(src, out, no_intermediate=True, inpaint=False)
             pipe.drain()
             times.append(time.perf_counter() - t0)
+        syncs_per_img = (pipe.sync_count - sync0) / iters
+
+        # one traced run for the device-busy attribution (the traced run's
+        # wall time is invalid through the tunnel; only its device track
+        # is read)
+        busy_per_img = None
+        try:
+            import jax
+
+            from inklayer_tpu.profiling import device_busy_ms
+
+            tdir = os.path.join(out, "_trace")
+            with jax.profiler.trace(tdir):
+                pipe.run(src, out, no_intermediate=True, inpaint=False)
+                pipe.drain()
+            busy_per_img, _ = device_busy_ms(tdir)
+        except Exception:
+            pass
 
         # directory-sweep mode: run_dir overlaps host IO / readbacks of
         # image i with device compute of image i+1 — the BASELINE
@@ -205,11 +301,16 @@ def measure_full_pipeline(iters: int = 3):
             t0 = time.perf_counter()
             pipe.run_dir(paths, out, no_intermediate=True, inpaint=False)
             sweep_ts.append(time.perf_counter() - t0)
-        sweep_sps = n_sweep / float(np.median(sweep_ts))
+        rtt_ms = measure_rtt_ms()
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    p50 = float(np.percentile(times, 50))
-    return p50 * 1e3, 1.0 / p50, sweep_sps
+    try:
+        host_load = os.getloadavg()[0]
+    except OSError:
+        host_load = 0.0
+    return assemble_e2e_fields([t * 1e3 for t in times], sweep_ts, n_sweep,
+                               syncs_per_img, busy_per_img, rtt_ms,
+                               host_load)
 
 
 def main():
@@ -258,10 +359,7 @@ def main():
     }
     if not args.skip_full:
         try:
-            e2e_ms, sps, sweep_sps = measure_full_pipeline()
-            out["e2e_full_pipeline_p50_ms"] = round(e2e_ms, 1)
-            out["e2e_sketches_per_sec_per_chip"] = round(sps, 3)
-            out["e2e_sweep_sketches_per_sec_per_chip"] = round(sweep_sps, 3)
+            out.update(measure_full_pipeline())
         except Exception as e:  # never lose the primary metric
             out["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(out))

@@ -161,6 +161,10 @@ class InkLayerPipeline:
         # for the same reason); a single-slot lock bounds device memory to
         # one in-flight 768² sample when serve runs concurrent requests
         self.inpaint_lock = threading.Lock()
+        # host-blocking device readbacks, counted for bench attribution
+        # (each costs a full transport RTT on remote-device tunnels)
+        self.sync_count = 0
+        self._sync_guard = threading.Lock()
         self._batched_encoder = None
         self._det_cache: dict = {}
         self._sam_state_cache: dict = {}
@@ -196,6 +200,10 @@ class InkLayerPipeline:
     @async_io.setter
     def async_io(self, value: bool):
         self._local.async_io = value
+
+    def _count_sync(self, n: int = 1):
+        with self._sync_guard:
+            self.sync_count += n
 
     def _submit(self, fn, *args):
         if self.async_io:
@@ -474,7 +482,11 @@ class InkLayerPipeline:
 
         # ---- detection -------------------------------------------------
         t0 = time.perf_counter()
-        det = det_fin() if callable(det_fin) else det_fin
+        if callable(det_fin):
+            self._count_sync()
+            det = det_fin()
+        else:
+            det = det_fin
         self.stage_times.add("detect", time.perf_counter() - t0)
         boxes_cxcywh = det["boxes"]  # normalized
         scores = det["scores"]
@@ -518,6 +530,7 @@ class InkLayerPipeline:
             masks_dev = jnp.zeros((0, h, w), bool)
         self.stage_times.add("segment", time.perf_counter() - t0)
         def write_sam_outputs(masks_dev_):
+            self._count_sync()
             masks = masks_to_host(masks_dev_)  # packed transfer
             io_out.save_masks_dir(masks, os.path.join(out_dir, "masks"))
             seg = color_sketch_by_masks(image, list(masks))
@@ -539,10 +552,12 @@ class InkLayerPipeline:
             cleaned_dev = clean_masks_device(masks_dev, cfg.refine)
         self.stage_times.add("clean", time.perf_counter() - t0)
         if not no_intermediate:
-            self._submit(
-                lambda cd: io_out.save_masks_dir(
-                    masks_to_host(cd), os.path.join(out_dir, "masks_cleaned")),
-                cleaned_dev[:n_det])
+            def write_cleaned(cd):
+                self._count_sync()
+                io_out.save_masks_dir(
+                    masks_to_host(cd), os.path.join(out_dir, "masks_cleaned"))
+
+            self._submit(write_cleaned, cleaned_dev[:n_det])
 
         # ---- sketch NMS (IoU matrix on device) ---------------------------
         if mmdet_json:  # mmdetection alt path (globbed above)
@@ -572,6 +587,7 @@ class InkLayerPipeline:
             # everything already dispatched before the detect readback:
             # one batched readback of the K-capacity results; stats stay
             # in K-index space so `rows` below are the kept indices
+            self._count_sync()
             valid_np, order_np, keep_np, dscores, doverlap = \
                 jax.device_get(device_front)
             sel = keep_np & valid_np[order_np]
@@ -586,6 +602,7 @@ class InkLayerPipeline:
                 keep_dev, dscores_dev, doverlap_dev = nms_depth_front(
                     kept0, gate, iou_bbox, order0, cleaned_dev, gray_dev,
                     depth, cfg.refine)
+                self._count_sync()
                 keep_p, dscores_p, doverlap_p = jax.device_get(
                     (keep_dev, dscores_dev, doverlap_dev))
                 k = len(kept0)
@@ -659,6 +676,7 @@ class InkLayerPipeline:
             need_disjoint = not no_intermediate or inpaint
             stacks = ([disjoint_dev_, final_dev_] if need_disjoint
                       else [final_dev_])
+            self._count_sync()
             host_stacks, extras = batched_final_readback(
                 stacks, [depth_u8_, extra_valid_])
             if need_disjoint:

@@ -52,3 +52,49 @@ class Timer:
     def dump(self, path: str) -> None:
         with open(path, "w") as f:
             json.dump(self.report(), f, indent=2)
+
+
+def device_busy_ms(trace_dir: str):
+    """(device_busy_ms, top-op list) from the newest jax.profiler trace in
+    `trace_dir`.  Busy time = union length of device-track complete events
+    (overlapping events are not double-counted; jit-module wrapper spans
+    contain per-op events, so the union also avoids wrapper double-count).
+    Shared by scripts/analyze_sweep_stalls.py and bench.py's attribution
+    fields — a reader of BENCH_r*.json can tell tunnel weather (RTT up,
+    busy flat) from a code regression (busy up) without a rerun."""
+    import collections
+    import glob
+    import gzip
+    import os
+
+    files = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    path = max(files, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pid_names.items()
+                if "TPU" in n or "Chip" in n or "/device" in n.lower()}
+    if not dev_pids:
+        dev_pids = set(pid_names)
+    spans = []
+    agg = collections.Counter()
+    for e in events:
+        if (e.get("ph") == "X" and e.get("pid") in dev_pids
+                and "dur" in e and "ts" in e):
+            spans.append((e["ts"], e["ts"] + e["dur"]))
+            agg[e["name"].split(".")[0]] += e["dur"]
+    spans.sort()
+    busy, end = 0.0, -1.0
+    for s, t in spans:
+        if s > end:
+            busy += t - s
+            end = t
+        elif t > end:
+            busy += t - end
+            end = t
+    return busy / 1e3, agg.most_common(12)

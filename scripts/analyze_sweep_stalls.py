@@ -35,43 +35,7 @@ import time
 import numpy as np
 
 
-def device_busy_ms(trace_dir: str) -> tuple:
-    """(device_busy_ms, top ops list) from the newest trace in trace_dir.
-    Busy time = union length of device-track complete events (overlapping
-    events are not double-counted)."""
-    files = glob.glob(_os.path.join(trace_dir, "**", "*.trace.json.gz"),
-                      recursive=True)
-    path = max(files, key=_os.path.getmtime)
-    with gzip.open(path, "rt") as f:
-        data = json.load(f)
-    events = data.get("traceEvents", [])
-    pid_names = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e["pid"]] = e["args"].get("name", "")
-    dev_pids = {p for p, n in pid_names.items()
-                if "TPU" in n or "Chip" in n or "/device" in n.lower()}
-    if not dev_pids:
-        dev_pids = set(pid_names)
-    spans = []
-    agg = collections.Counter()
-    for e in events:
-        if (e.get("ph") == "X" and e.get("pid") in dev_pids
-                and "dur" in e and "ts" in e):
-            # jit-module wrapper spans contain the per-op events; keep ALL
-            # spans and union them, so wrappers don't double-count
-            spans.append((e["ts"], e["ts"] + e["dur"]))
-            agg[e["name"].split(".")[0]] += e["dur"]
-    spans.sort()
-    busy, end = 0.0, -1.0
-    for s, t in spans:
-        if s > end:
-            busy += t - s
-            end = t
-        elif t > end:
-            busy += t - end
-            end = t
-    return busy / 1e3, agg.most_common(12)
+from inklayer_tpu.profiling import device_busy_ms  # shared with bench.py
 
 
 def main():
