@@ -110,7 +110,16 @@ void watershed(int32_t* labels, const float* elevation, const uint8_t* region,
   uint64_t counter = 0;
   const size_t n = static_cast<size_t>(h) * w;
   for (size_t i = 0; i < n; ++i) {
-    if (labels[i] > 0 && region[i]) {
+    if (!region[i]) {
+      // skimage zeroes markers outside the mask (_watershed.py
+      // _validate_inputs: `markers *= mask`): output labels never extend
+      // beyond the flood region.  Confirmed against the reference's
+      // committed masks_final (99.7% ink-restricted) — keeping out-of-region
+      // seed labels silently inflated masks with blob interiors.
+      labels[i] = 0;
+      continue;
+    }
+    if (labels[i] > 0) {
       pq.push({elevation[i], counter++, (int)i, (int)i});
       done[i] = 1;
     }

@@ -75,6 +75,25 @@ def oracle_env():
 
     _stub_torchvision()
     _load_sa_pkg()                      # segment_anything.* (real package)
+    # segmentor/sam.py does `from segment_anything import build_sam,
+    # SamPredictor`: surface those names on the package (and the modeling
+    # classes build_sam.py re-imports) like the real __init__.py does
+    sa = sys.modules["segment_anything"]
+    smod = sys.modules["segment_anything.modeling"]
+    for cls, mod in (("ImageEncoderViT", "image_encoder"),
+                     ("MaskDecoder", "mask_decoder"),
+                     ("PromptEncoder", "prompt_encoder"),
+                     ("TwoWayTransformer", "transformer"),
+                     ("Sam", "sam")):
+        setattr(smod, cls,
+                getattr(sys.modules[f"segment_anything.modeling.{mod}"], cls))
+    sa_dir = ("/root/reference/InkLayer/third_party/segment-anything/"
+              "segment_anything")
+    bs = _load("segment_anything.build_sam",
+               os.path.join(sa_dir, "build_sam.py"))
+    sa.build_sam = bs.build_sam
+    sa.SamPredictor = sys.modules["segment_anything.predictor"].SamPredictor
+
     mc, nms = _load_ref_clean_nms()     # mask_cleaner + nms_sketch
     ds, rf = _load_ref_refiner()        # depth_sort (stubbed DAv2) + refiner
 
@@ -130,9 +149,17 @@ SCORES = [0.92, 0.81, 0.77, 0.66, 0.55]
 
 
 def _shared_depth():
-    yy, xx = np.mgrid[:H, :W_IMG].astype(np.float32)
-    # smooth deterministic field; distinct values across the shapes
-    return (yy / H) * 2.0 + (xx / W_IMG) * 0.7
+    """Region-constant depth: each shape's stroke neighbourhood sits on its
+    own plateau with a large margin, so the binned-mode depth score
+    (depth_sort.py:71-86) is robust to the two sides sampling different
+    Poisson stroke points."""
+    d = np.full((H, W_IMG), 0.05, np.float32)
+    d[20:145, 20:145] = 1.0      # A's area
+    d[36:104, 36:104] = 2.0      # B's area (nested, deeper)
+    d[145:235, 55:205] = 3.0     # C
+    d[155:225, 168:245] = 4.0    # D (overlap region reads as D)
+    d[195:245, 15:65] = 5.0      # free strokes
+    return d
 
 
 class StubDetector:
@@ -170,15 +197,58 @@ class StubDepth:
         return np.asarray(self._d)
 
 
+def _train_localized(torch_sam, scene_rgb, steps=800):
+    """A purely-random tiny SAM emits near-identical global blobs for every
+    prompt (~95% pairwise overlap measured), which makes the depth-sort /
+    disjoint-composite stage a tie-break lottery.  A few hundred CPU Adam
+    steps teaching it 'mask = prompt-box rectangle' give prompt-LOCALIZED
+    masks, so every downstream decision (ink coverage, NMS gates, depth
+    modes, containment) has a wide margin on both sides of the chain."""
+    tr_mod = sys.modules["segment_anything.utils.transforms"]
+    img = tr_mod.ResizeLongestSide(TINY.image_size).apply_image(scene_rgb)
+    x = torch.as_tensor(img).permute(2, 0, 1).float()[None]
+    x = (x - torch_sam.pixel_mean) / torch_sam.pixel_std
+    opt = torch.optim.Adam(torch_sam.parameters(), lr=2e-3)
+    g = torch.Generator().manual_seed(0)
+    low_hw = TINY.image_size // 4
+    loss_fn = torch.nn.BCEWithLogitsLoss()
+    torch_sam.train()
+    for _ in range(steps):
+        emb = torch_sam.image_encoder(x)
+        xy1 = torch.rand((4, 2), generator=g) * (TINY.image_size * 0.7)
+        wh = 8 + torch.rand((4, 2), generator=g) * (TINY.image_size * 0.5)
+        boxes = torch.cat([xy1, (xy1 + wh).clamp(max=TINY.image_size)], dim=1)
+        sparse, dense = torch_sam.prompt_encoder(
+            points=None, boxes=boxes, masks=None)
+        low, _iou = torch_sam.mask_decoder(
+            image_embeddings=emb,
+            image_pe=torch_sam.prompt_encoder.get_dense_pe(),
+            sparse_prompt_embeddings=sparse,
+            dense_prompt_embeddings=dense,
+            multimask_output=False)
+        yy, xx = torch.meshgrid(torch.arange(low_hw), torch.arange(low_hw),
+                                indexing="ij")
+        b4 = boxes / 4.0
+        target = ((xx[None] >= b4[:, 0, None, None])
+                  & (yy[None] >= b4[:, 1, None, None])
+                  & (xx[None] <= b4[:, 2, None, None])
+                  & (yy[None] <= b4[:, 3, None, None])).float()
+        loss = loss_fn(low[:, 0], target)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    torch_sam.eval()
+    return float(loss.detach())
+
+
 @pytest.fixture(scope="module")
 def shared_sam(oracle_env, tmp_path_factory):
-    """One random tiny torch SAM; the torch side uses it directly, ours
-    through the checkpoint converter."""
+    """One tiny torch SAM, briefly trained to localize masks at the prompt
+    box; the torch side uses it directly, ours through the checkpoint
+    converter."""
     torch_sam = _tiny_torch_sam(None)
-    g = torch.Generator().manual_seed(11)
-    with torch.no_grad():
-        for p in torch_sam.parameters():
-            p.add_(torch.randn(p.shape, generator=g) * 0.15)
+    final_loss = _train_localized(torch_sam, _scene())
+    assert final_loss < 0.15, f"localization training failed ({final_loss})"
     path = str(tmp_path_factory.mktemp("fullchain") / "tiny_sam.pth")
     torch.save(torch_sam.state_dict(), path)
 
