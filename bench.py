@@ -194,8 +194,11 @@ def weather_flag(rtt_ms: float, times_ms,
         spread = max(times_ms) / max(min(times_ms), 1e-9)
         if spread > 1.4:
             msgs.append(f"iter spread {spread:.2f}x (max/min)")
+    # the bench itself keeps ~1 core busy; flag only EXTRA load beyond
+    # our own (this box reports a single CPU — any concurrent work there
+    # directly serializes against the pipeline's host path)
     ncpu = os.cpu_count() or 1
-    if host_load > 0.5 * ncpu:
+    if host_load > 1.0 + 0.5 * ncpu:
         msgs.append(f"host load {host_load:.1f} on {ncpu} cpus")
     return "WEATHER: " + "; ".join(msgs) if msgs else "OK"
 

@@ -207,6 +207,24 @@ class GDinoDetector:
         and thresholding keeps scores > t, the surviving detections are a
         PREFIX of the device arrays — downstream consumers (SAM box decode)
         can chain on device and slice [:n] after the host readback."""
+        parts, finalize_host, scores0, boxes0 = \
+            self.detect_dispatch_device_parts(image, caption, box_threshold)
+
+        def finalize():
+            # ONE batched readback (each np.asarray pays a tunnel RTT)
+            return finalize_host(jax.device_get(parts))
+
+        return finalize, scores0, boxes0
+
+    def detect_dispatch_device_parts(self, image: np.ndarray,
+                                     caption: Optional[str] = None,
+                                     box_threshold: Optional[float] = None):
+        """Lowest-level async detect: returns (parts, finalize_host,
+        scores_dev, boxes_dev) where `parts` is the device tuple a caller
+        passes through its OWN (batched) jax.device_get and `finalize_host`
+        turns the fetched host tuple into the detect dict.  Lets the
+        runner's device-front mode fuse the detect readback with the
+        NMS/depth-front readback into ONE transport round-trip."""
         c = self.cfg
         cap = self._caption(caption)
         thresh = c.box_threshold if box_threshold is None else box_threshold
@@ -215,15 +233,14 @@ class GDinoDetector:
         scores, boxes, tok_logits = self._jit(
             self.params, pre[None], jnp.asarray(pad_mask[None]), ids, attn,
             pos)
+        parts = (scores[0], boxes[0], tok_logits[0], ids[0])
 
-        def finalize():
-            # ONE batched readback (each np.asarray pays a tunnel RTT)
-            s, b, tl, i = jax.device_get((scores[0], boxes[0],
-                                          tok_logits[0], ids[0]))
-            return self._threshold(s, np.asarray(b, np.float64), tl, i,
-                                   cap, thresh)
+        def finalize_host(host_parts):
+            s, b, tl, i = host_parts
+            return self._threshold(np.asarray(s), np.asarray(b, np.float64),
+                                   np.asarray(tl), np.asarray(i), cap, thresh)
 
-        return finalize, scores[0], boxes[0]
+        return parts, finalize_host, scores[0], boxes[0]
 
     def detect_batch(self, images, caption: Optional[str] = None,
                      box_threshold: Optional[float] = None):

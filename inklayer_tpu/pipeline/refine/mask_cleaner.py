@@ -26,18 +26,24 @@ def kernel_size(image_hw, factor: float = 0.025) -> int:
     return k if k % 2 != 0 else k + 1
 
 
-@functools.partial(jax.jit, static_argnames=("k", "min_area", "min_aspect"))
+@functools.partial(jax.jit, static_argnames=("k", "min_area", "min_aspect",
+                                             "with_stats"))
 def clean_masks(
     masks: jax.Array,  # (N, H, W) bool or uint8
     k: int,
     min_area: int = 500,
     min_aspect: float = 1.1,
-) -> jax.Array:
-    """Returns (N, H, W) bool cleaned masks."""
+    with_stats: bool = False,
+):
+    """Returns (N, H, W) bool cleaned masks; with_stats=True additionally
+    returns (N,) bool CC-iteration-cap-hit flags (observability: a capped
+    mask's components may be split, so the keep decision can differ from
+    the reference's exact connectedComponentsWithStats)."""
     binary = masks > (127 if masks.dtype == jnp.uint8 else 0)
     se = M.rect_kernel(max(k, 1))
     closed = M.morph_close(binary, se)
-    return clean_components_batch(closed, min_area, min_aspect)
+    return clean_components_batch(closed, min_area, min_aspect,
+                                  with_stats=with_stats)
 
 
 def run_clean_masks(masks, cfg: RefineConfig = RefineConfig()) -> np.ndarray:
@@ -45,10 +51,14 @@ def run_clean_masks(masks, cfg: RefineConfig = RefineConfig()) -> np.ndarray:
     return np.asarray(clean_masks_device(masks, cfg))
 
 
-def clean_masks_device(masks, cfg: RefineConfig = RefineConfig()) -> jnp.ndarray:
-    """Device-resident variant: accepts/returns device arrays (no transfer)."""
+def clean_masks_device(masks, cfg: RefineConfig = RefineConfig(),
+                       with_stats: bool = False):
+    """Device-resident variant: accepts/returns device arrays (no
+    transfer).  with_stats=True also returns the (N,) cap-hit flags."""
     masks = jnp.asarray(masks)
     if masks.shape[0] == 0:
-        return masks.astype(bool)
+        empty = masks.astype(bool)
+        return (empty, jnp.zeros((0,), bool)) if with_stats else empty
     k = kernel_size(masks.shape[1:], cfg.clean_kernel_frac)
-    return clean_masks(masks, k, cfg.min_cc_area, cfg.min_cc_aspect)
+    return clean_masks(masks, k, cfg.min_cc_area, cfg.min_cc_aspect,
+                       with_stats=with_stats)

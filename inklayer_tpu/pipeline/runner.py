@@ -164,6 +164,11 @@ class InkLayerPipeline:
         # host-blocking device readbacks, counted for bench attribution
         # (each costs a full transport RTT on remote-device tunnels)
         self.sync_count = 0
+        # masks whose CC propagation hit the iteration cap during cleaning
+        # (labels may be split -> keep decisions can drift from the exact
+        # reference); counted + warned so a deployment never silently
+        # inherits a cap tuned on placeholder-noise masks
+        self.cc_cap_hits = 0
         self._sync_guard = threading.Lock()
         self._batched_encoder = None
         self._det_cache: dict = {}
@@ -205,6 +210,19 @@ class InkLayerPipeline:
         with self._sync_guard:
             self.sync_count += n
 
+    def _note_cc_caps(self, capped_flags, image_name: str):
+        """capped_flags: (N,) bool host array from the cleaning stage."""
+        n = int(np.asarray(capped_flags).sum())
+        if n:
+            with self._sync_guard:
+                self.cc_cap_hits += n
+            print(f"WARNING: {image_name}: mask cleaning hit the "
+                  f"connected-components iteration cap on {n}/"
+                  f"{len(capped_flags)} masks — component labels may be "
+                  f"split and keep decisions may differ from the exact "
+                  f"reference (compact masks converge in 2-4 iterations; "
+                  f"cap hits indicate noise-like masks).")
+
     def _submit(self, fn, *args):
         if self.async_io:
             self._pending.append(self._writer.submit(fn, *args))
@@ -220,22 +238,26 @@ class InkLayerPipeline:
 
     def run_dir(self, paths, out_base_dir: str, no_intermediate: bool = False,
                 inpaint: bool = False, batch_size: int = 1,
-                workers: int = 1):
+                workers: Optional[int] = None):
         """Directory sweep with host-IO/device overlap: image i's PNG
         output-contract work runs on writer threads while image i+1 is on
         device (the reference processes strictly sequentially).
 
-        workers == 1 (default) pipelines on ONE thread: the full device
-        front of image i+1 (upload, detect with chained top-K boxes, SAM
-        encode, depth) is dispatched asynchronously before image i's
-        readbacks, so the device streams while the host blocks.  Measured
-        on v5e through the axon tunnel this beats thread-per-image
-        concurrency (1.4-1.5 vs 0.95-0.99 sketches/s at workers=2/4):
-        concurrent dispatch threads thrash the GIL and the runtime's
-        dispatch path instead of overlapping.
+        workers defaults to cfg.sweep_workers (2): worker threads run
+        images concurrently, so image i's data-dependent readback waits
+        overlap image i+1's dispatch + device work.  Re-measured
+        2026-08-20: the transport completes a get as soon as its
+        dependencies finish and serves parallel gets concurrently, so
+        workers=2/3 reach 2.8-3.3 sk/s vs 2.4-2.9 single-threaded.
+        (An EARLIER transport build drained the whole queue on every get;
+        there workers=1 with the dispatch-lookahead hook below was the
+        only configuration that didn't collapse — 1.4-2.7 vs 0.95 sk/s.
+        The workers==1 path keeps that mode available.)
 
-        workers > 1 runs that many images concurrently on worker threads
-        (kept for hosts where dispatch is cheap and host work dominates).
+        workers == 1 pipelines on ONE thread: the full device front of
+        image i+1 (upload, detect with chained top-K boxes, SAM encode,
+        depth) is dispatched asynchronously before image i's readbacks,
+        so the device streams while the host blocks.
 
         batch_size > 1 instead BATCHES the two big model dispatches
         across images: GDINO detect groups same-bucket images into one
@@ -250,6 +272,8 @@ class InkLayerPipeline:
         device/host overlap, and the batched uploads ride the slow
         tunnel.  Keep batch_size=1 here; batching should win on real TPU
         VMs where host<->device is fast and dispatch is cheap."""
+        if workers is None:
+            workers = max(1, int(getattr(self.cfg, "sweep_workers", 1)))
         self.async_io = True
         self._det_cache, self._sam_state_cache = {}, {}
         try:
@@ -311,8 +335,14 @@ class InkLayerPipeline:
                         img_next, gray_next = (fut.result() if fut is not None
                                                else _decode(nxt))
                         dev_next = upload_image(img_next)
-                        self._det_cache[nxt] = \
-                            self.detector.detect_dispatch_device(dev_next)
+                        if (self.cfg.device_front and hasattr(
+                                self.detector,
+                                "detect_dispatch_device_parts")):
+                            self._det_cache[nxt] = self.detector.\
+                                detect_dispatch_device_parts(dev_next)
+                        else:
+                            self._det_cache[nxt] = \
+                                self.detector.detect_dispatch_device(dev_next)
                         self._sam_state_cache[nxt] = \
                             self.sam.compute_image_state(dev_next)
                         self._depth_cache[nxt] = \
@@ -410,9 +440,21 @@ class InkLayerPipeline:
         t0 = time.perf_counter()
         cached_det = self._det_cache.pop(input_path, None)
         boxes_dev = None
+        det_fin = det_parts = det_finalize_host = None
+        use_parts = (cfg.device_front
+                     and hasattr(self.detector,
+                                 "detect_dispatch_device_parts"))
         if cached_det is None:
-            det_fin, _scores_dev, boxes_dev = \
-                self.detector.detect_dispatch_device(image_dev)
+            if use_parts:
+                # device-front mode defers the detect readback so it can
+                # fuse with the NMS/depth-front readback (ONE round-trip)
+                det_parts, det_finalize_host, _scores_dev, boxes_dev = \
+                    self.detector.detect_dispatch_device_parts(image_dev)
+            else:
+                det_fin, _scores_dev, boxes_dev = \
+                    self.detector.detect_dispatch_device(image_dev)
+        elif isinstance(cached_det, tuple) and len(cached_det) == 4:
+            det_parts, det_finalize_host, _scores_dev, boxes_dev = cached_det
         elif isinstance(cached_det, tuple):
             # run_dir lookahead cached the device triple, keeping the
             # detect -> SAM decode chaining live for prefetched images
@@ -471,7 +513,9 @@ class InkLayerPipeline:
             masks_dev = self.sam.masks_from_lowres(sam_state, lowres_dev, cap)
             self.stage_times.add("segment", time.perf_counter() - t0)
             t0 = time.perf_counter()
-            cleaned_dev = clean_masks_device(masks_dev, cfg.refine)
+            cleaned_dev, capped_dev = clean_masks_device(masks_dev,
+                                                         cfg.refine,
+                                                         with_stats=True)
             self.stage_times.add("clean", time.perf_counter() - t0)
             t0 = time.perf_counter()
             device_front = nms_depth_front_device(
@@ -482,7 +526,19 @@ class InkLayerPipeline:
 
         # ---- detection -------------------------------------------------
         t0 = time.perf_counter()
-        if callable(det_fin):
+        front_host = None
+        if det_parts is not None:
+            self._count_sync()
+            if device_front is not None:
+                # ONE fused transport round-trip for detect outputs + the
+                # whole NMS/depth-front results (2 syncs/image total
+                # instead of 3 — each costs a full RTT on remote tunnels)
+                host_parts, front_host = jax.device_get(
+                    (det_parts, device_front))
+            else:  # mmdet alt path or no chained decode: plain readback
+                host_parts = jax.device_get(det_parts)
+            det = det_finalize_host(host_parts)
+        elif callable(det_fin):
             self._count_sync()
             det = det_fin()
         else:
@@ -549,7 +605,9 @@ class InkLayerPipeline:
         # ---- mask cleaning (device) --------------------------------------
         t0 = time.perf_counter()
         if cleaned_dev is None:
-            cleaned_dev = clean_masks_device(masks_dev, cfg.refine)
+            cleaned_dev, capped_dev = clean_masks_device(masks_dev,
+                                                         cfg.refine,
+                                                         with_stats=True)
         self.stage_times.add("clean", time.perf_counter() - t0)
         if not no_intermediate:
             def write_cleaned(cd):
@@ -586,10 +644,13 @@ class InkLayerPipeline:
         if device_front is not None:
             # everything already dispatched before the detect readback:
             # one batched readback of the K-capacity results; stats stay
-            # in K-index space so `rows` below are the kept indices
-            self._count_sync()
-            valid_np, order_np, keep_np, dscores, doverlap = \
-                jax.device_get(device_front)
+            # in K-index space so `rows` below are the kept indices.
+            # front_host is already here when the fused detect+front
+            # readback ran above (det_parts path).
+            if front_host is None:
+                self._count_sync()
+                front_host = jax.device_get(device_front)
+            valid_np, order_np, keep_np, dscores, doverlap = front_host
             sel = keep_np & valid_np[order_np]
             kept = order_np[sel].astype(np.int64)
             rows_of_kept = kept
@@ -664,7 +725,7 @@ class InkLayerPipeline:
         self.stage_times.add("refine", time.perf_counter() - t0)
 
         def write_final_outputs(disjoint_dev_, final_dev_, depth_u8_,
-                                extra_valid_):
+                                extra_valid_, capped_dev_):
             # masks_disjoint is needed on disk when inpainting runs (the
             # per-layer assembly and the web single-layer editor read it).
             # Both stacks are disjoint by construction -> uint8 label-map
@@ -678,7 +739,10 @@ class InkLayerPipeline:
                       else [final_dev_])
             self._count_sync()
             host_stacks, extras = batched_final_readback(
-                stacks, [depth_u8_, extra_valid_])
+                stacks, [depth_u8_, extra_valid_, capped_dev_])
+            # CC-cap observability rides the existing readback (no extra
+            # RTT); warn if any mask's cleaning hit the iteration cap
+            self._note_cc_caps(extras[2], input_name)
             if need_disjoint:
                 io_out.save_masks_dir(host_stacks[0],
                                       os.path.join(out_dir, "masks_disjoint"))
@@ -694,7 +758,7 @@ class InkLayerPipeline:
                 os.path.join(out_dir, "segmented_sketch_final.png"))
 
         self._submit(write_final_outputs, disjoint_dev, final_dev, depth_u8,
-                     extra_valid)
+                     extra_valid, capped_dev)
 
         if _prefetch_hook is not None:
             # run_dir lookahead: ALL of this image's device work is queued;

@@ -41,6 +41,7 @@ from inklayer_tpu.profiling import device_busy_ms  # shared with bench.py
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--device-front", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +50,9 @@ def main():
     from inklayer_tpu.config import PipelineConfig
 
     src = "/root/reference/data/bunny_cook_sketch.png"
-    pipe = build_pipeline(PipelineConfig())
+    import dataclasses
+    cfg = PipelineConfig(device_front=args.device_front)
+    pipe = build_pipeline(cfg)
     out = tempfile.mkdtemp(prefix="sweep_stall_")
     sweep_in = _os.path.join(out, "in")
     _os.makedirs(sweep_in)

@@ -79,15 +79,18 @@ def test_clean_keep_fused_kernel_matches_xla_composition(rng):
     m = jnp.asarray(masks)
 
     kern = C._clean_keep_kernel(h, w, w, 8, 16, 50, 1.1, 256)
-    out = pl.pallas_call(
+    out, capped = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.int8),
+        out_shape=(jax.ShapeDtypeStruct((n, h, w), jnp.int8),
+                   jax.ShapeDtypeStruct((n, 8, 128), jnp.int32)),
         grid=(n,),
         in_specs=[pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+        out_specs=(pl.BlockSpec((1, h, w), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0))),
         interpret=True,
     )(m.astype(jnp.int8))
     got = np.asarray(out) != 0
+    assert not np.asarray(capped[:, 0, 0]).any()  # 16 iters suffice here
 
     labels = jax.vmap(lambda x: connected_components(x, 8, 64))(m)
     keep = jax.vmap(lambda l: C.component_keep(l, 50, 1.1))(labels)
@@ -155,3 +158,56 @@ def test_color_sketch_by_masks_matches_reference_math(rng):
     a2 = max(raw2 ** (1 / 1.5), 0.2)
     expect2 = np.array([255, 255, 255]) * (1 - a2)
     np.testing.assert_allclose(out[10, 10], expect2.astype(np.uint8), atol=1)
+
+
+def test_cc_cap_hit_flags(rng):
+    """with_stats=True surfaces the CC iteration cap (VERDICT r03 #8): a
+    serpentine mask whose label propagation needs many doubling rounds is
+    flagged under a tiny cap and clean under the production cap; a compact
+    blob converges in a couple of iterations and is never flagged."""
+    import jax
+
+    from inklayer_tpu.ops.components import clean_components_batch
+
+    h, w = 40, 120
+    # serpentine: one long snake-shaped component (worst-case propagation)
+    snake = np.zeros((h, w), bool)
+    for r in range(0, h, 4):
+        snake[r, :] = True
+        if (r // 4) % 2 == 0:
+            snake[r:r + 5, w - 1] = True
+        else:
+            snake[r:r + 5, 0] = True
+    blob = np.zeros((h, w), bool)
+    blob[10:30, 20:80] = True
+    masks = jnp.asarray(np.stack([snake, blob]))
+
+    _, capped, iters = jax.vmap(
+        lambda m: connected_components(m, 8, 2, with_stats=True))(masks)
+    assert bool(capped[0]) and not bool(capped[1])
+    assert int(iters[1]) <= 3
+
+    cleaned, capped = clean_components_batch(masks, min_area=5,
+                                             min_aspect=1.1, max_iters=64,
+                                             with_stats=True)
+    assert not bool(capped.any()), "production cap must clear both"
+    assert bool(cleaned[1].any())
+
+
+def test_runner_warns_on_cc_cap_hits(capsys):
+    """The pipeline counts cap hits and emits a visible warning (rides the
+    final batched readback; no extra sync)."""
+    from inklayer_tpu.pipeline.runner import InkLayerPipeline
+
+    pipe = InkLayerPipeline.__new__(InkLayerPipeline)
+    import threading
+
+    pipe.cc_cap_hits = 0
+    pipe._sync_guard = threading.Lock()
+    pipe._note_cc_caps(np.asarray([True, False, True]), "sketchy")
+    out = capsys.readouterr().out
+    assert "iteration cap" in out and "2/3" in out
+    assert pipe.cc_cap_hits == 2
+    pipe._note_cc_caps(np.asarray([False, False]), "clean_img")
+    assert pipe.cc_cap_hits == 2
+    assert capsys.readouterr().out == ""

@@ -184,11 +184,15 @@ def test_run_dir_pipelined_matches_sequential(pipeline, tmp_path):
         paths.append(str(p))
 
     seq_dir = tmp_path / "seq"
-    pipe_dir = tmp_path / "pipe"
     for p in paths:
         pipeline.run(p, str(seq_dir))
     pipeline.drain()
+    # default workers (cfg.sweep_workers=2, concurrent images) AND the
+    # single-threaded lookahead mode must both match sequential output
+    pipe_dir = tmp_path / "pipe"
     pipeline.run_dir(paths, str(pipe_dir))
+    pipe1_dir = tmp_path / "pipe1"
+    pipeline.run_dir(paths, str(pipe1_dir), workers=1)
 
     for p in paths:
         name = os.path.basename(p).split(".")[0]
@@ -197,6 +201,9 @@ def test_run_dir_pipelined_matches_sequential(pipeline, tmp_path):
         with open(os.path.join(pipe_dir, name, "bboxes_final.json")) as f:
             b = json.load(f)
         assert a == b, name
+        with open(os.path.join(pipe1_dir, name, "bboxes_final.json")) as f:
+            b1 = json.load(f)
+        assert a == b1, name
         fa = sorted(os.listdir(os.path.join(seq_dir, name, "masks_final")))
         fb = sorted(os.listdir(os.path.join(pipe_dir, name, "masks_final")))
         assert fa == fb, name
