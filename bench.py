@@ -288,7 +288,10 @@ def measure_full_pipeline(iters: int = 5):
         # image i with device compute of image i+1 — the BASELINE
         # "sketches/sec per chip" production configuration.  Same image
         # under distinct names keeps every stage in one compile bucket.
-        n_sweep = 4
+        # 8 images (r04, was 4): sweep throughput is a steady-state
+        # metric and the first image has no overlap partner — at n=4 that
+        # edge is 25% of the measurement.
+        n_sweep = 8
         sweep_in = os.path.join(out, "_sweep_in")
         os.makedirs(sweep_in, exist_ok=True)
         paths = []
@@ -297,10 +300,10 @@ def measure_full_pipeline(iters: int = 5):
             shutil.copyfile(src, p)
             paths.append(p)
         pipe.run_dir(paths, out, no_intermediate=True, inpaint=False)  # warm
-        # median of 3: one-sample sweep timings vary ~20-30% through the
+        # median of 5: one-sample sweep timings vary ~20-30% through the
         # tunnel (measured 1.79 vs 2.38 sk/s for identical warm runs)
         sweep_ts = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             pipe.run_dir(paths, out, no_intermediate=True, inpaint=False)
             sweep_ts.append(time.perf_counter() - t0)

@@ -257,11 +257,16 @@ def build_inpainter(cfg: PipelineConfig, dtype: jnp.dtype = jnp.float32,
         if "pipe" not in state:
             state["pipe"] = make_pipe()
             state["fn"] = state["pipe"].inpaint_fn()
+            state["batch_fn"] = state["pipe"].inpaint_batch_fn()
         return state["pipe"]
 
     def inpaint_func(image, mask):
         pipe()
         return state["fn"](image, mask)
+
+    def inpaint_batch_func(pairs):
+        pipe()
+        return state["batch_fn"](pairs)
 
     def single_layer_func(image, mask, prompt):
         """Text-guided single-layer edit: reference
@@ -283,4 +288,5 @@ def build_inpainter(cfg: PipelineConfig, dtype: jnp.dtype = jnp.float32,
             num_passes=1)
         return out.resize(image.size, PILImage.LANCZOS)
 
-    return Inpainter(inpaint_func, single_layer_func=single_layer_func)
+    return Inpainter(inpaint_func, single_layer_func=single_layer_func,
+                     inpaint_batch_func=inpaint_batch_func)

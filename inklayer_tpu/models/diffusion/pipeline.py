@@ -91,6 +91,9 @@ class ControlNetInpaintPipeline:
         self._text_cache = {}
         self._sample_jit = jax.jit(
             self._sample, static_argnames=("steps", "guidance", "cond_scale"))
+        self._sample_batch_jit = jax.jit(
+            self._sample_batch,
+            static_argnames=("steps", "guidance", "cond_scale"))
 
     # ------------------------------------------------------------------
     def _encode_prompt(self, prompt: str, negative: str):
@@ -151,6 +154,64 @@ class ControlNetInpaintPipeline:
         return jnp.clip(out[0] * 0.5 + 0.5, 0.0, 1.0)
 
     # ------------------------------------------------------------------
+    def _sample_batch(self, params, text_emb, images01, masks01, controls,
+                      noise, tables, steps: int, guidance: float,
+                      cond_scale: float):
+        """Batched sampling: B independent layers share one UNet/ControlNet
+        launch per step (the reference inpaints depth-ordered layers
+        strictly sequentially, inpainting/util.py:263-316 — their 30-step
+        loops share no data, so batching is free parallelism).  CFG layout:
+        batch axis is [uncond x B, cond x B].
+
+        images01: (B, H, W, 3); masks01: (B, H, W, 1); controls: (B, H, W,
+        3); noise: (B, lh, lw, 4)."""
+        ts, a_t, s_t, c_sample, c_x0, c_d = tables
+        bsz = images01.shape[0]
+        img = images01 * 2.0 - 1.0
+        masked = img * (masks01 < 0.5)
+        masked_lat = self.vae.apply(params["vae"], masked,
+                                    method=AutoencoderKL.encode)
+        lh, lw = masked_lat.shape[1:3]
+        mask_lat = jax.image.resize(masks01[:, :, :, :1], (bsz, lh, lw, 1),
+                                    "nearest")
+        latents = noise  # (B, lh, lw, 4)
+        # text_emb: (2, 77, 768) = [neg, pos] -> (2B, 77, 768)
+        emb = jnp.concatenate([
+            jnp.broadcast_to(text_emb[0:1], (bsz,) + text_emb.shape[1:]),
+            jnp.broadcast_to(text_emb[1:2], (bsz,) + text_emb.shape[1:]),
+        ], axis=0)
+        cond2 = jnp.concatenate([controls, controls], axis=0)
+
+        def body(i, carry):
+            latents, x0_prev = carry
+            t = ts[i]
+            lat_in = jnp.concatenate([latents, latents], axis=0)
+            t_in = jnp.full((2 * bsz,), t, jnp.int32)
+            down_res, mid_res = self.controlnet.apply(
+                params["controlnet"], lat_in, t_in, emb, cond2,
+                conditioning_scale=cond_scale)
+            nine = jnp.concatenate([
+                lat_in,
+                jnp.concatenate([mask_lat, mask_lat], axis=0),
+                jnp.concatenate([masked_lat, masked_lat], axis=0),
+            ], axis=-1)
+            eps = self.unet.apply(params["unet"], nine, t_in, emb,
+                                  down_residuals=down_res, mid_residual=mid_res)
+            eps_u, eps_c = eps[:bsz], eps[bsz:]
+            eps = eps_u + guidance * (eps_c - eps_u)
+            eps = eps.astype(jnp.float32)
+            x0 = (latents - s_t[i] * eps) / a_t[i]
+            new = (c_sample[i] * latents + c_x0[i] * x0
+                   + c_d[i] * (x0 - x0_prev))
+            return new, x0
+
+        latents, _ = jax.lax.fori_loop(
+            0, steps, body, (latents, jnp.zeros_like(latents)))
+        out = self.vae.apply(params["vae"], latents,
+                             method=AutoencoderKL.decode)
+        return jnp.clip(out * 0.5 + 0.5, 0.0, 1.0)
+
+    # ------------------------------------------------------------------
     def generate(self, image: Image.Image, mask: Image.Image,
                  prompt: Optional[str] = None,
                  negative_prompt: Optional[str] = None,
@@ -195,6 +256,96 @@ class ControlNetInpaintPipeline:
             arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
             cur = Image.fromarray(arr)
         return cur
+
+    # batch-size buckets: one compile per bucket; larger layer counts run
+    # in ceil(B/4) launches of at most 4 (device memory: 8 CFG samples of
+    # 768^2 UNet activations)
+    BATCH_BUCKETS = (1, 2, 4)
+
+    def generate_batch(self, images, masks,
+                       prompt: Optional[str] = None,
+                       negative_prompt: Optional[str] = None,
+                       guidance_scale: Optional[float] = None,
+                       cond_scale: Optional[float] = None,
+                       steps: Optional[int] = None,
+                       seed: Optional[int] = None,
+                       num_passes: Optional[int] = None):
+        """Batched generate: B (image, mask) pairs -> B PIL images, sharing
+        one UNet/ControlNet launch per solver step.  Semantics match B
+        independent generate() calls: each layer gets the SAME seed-derived
+        noise (the reference seeds its generator per call,
+        inpaint_ControlNet.py:155), and pass 2 rebuilds each layer's
+        control image from its own pass-1 output."""
+        cfg = self.cfg
+        prompt = prompt if prompt is not None else cfg.prompt
+        negative_prompt = (negative_prompt if negative_prompt is not None
+                           else cfg.negative_prompt)
+        guidance = (guidance_scale if guidance_scale is not None
+                    else cfg.guidance_scale)
+        cscale = cond_scale if cond_scale is not None else cfg.controlnet_scale
+        steps = steps if steps is not None else cfg.num_steps
+        seed = seed if seed is not None else cfg.seed
+        passes = num_passes if num_passes is not None else cfg.num_passes
+        size = cfg.resolution
+        n = len(images)
+        if n == 0:
+            return []
+
+        text_emb = self._encode_prompt(prompt, negative_prompt)
+        tables = tuple(jnp.asarray(t) for t in
+                       _solver_tables(self.scheduler, steps))
+        imgs_r = [im.resize((size, size), Image.LANCZOS) for im in images]
+        masks_r = [mk.resize((size, size), Image.LANCZOS) for mk in masks]
+        mask01 = np.stack([
+            np.asarray(m.convert("L"), np.float32)[..., None] / 255.0
+            for m in masks_r])
+        noise1 = jax.random.normal(
+            jax.random.key(seed), (size // 8, size // 8, cfg.latent_channels))
+
+        cur = list(imgs_r)
+        for _ in range(passes):
+            out_all = [None] * n
+            for s in range(0, n, self.BATCH_BUCKETS[-1]):
+                idxs = list(range(s, min(n, s + self.BATCH_BUCKETS[-1])))
+                b = len(idxs)
+                bucket = next(x for x in self.BATCH_BUCKETS if x >= b)
+                pad = bucket - b
+                rows = idxs + [idxs[-1]] * pad
+                control = np.stack([np.asarray(
+                    make_inpaint_condition(cur[i], masks_r[i])) for i in rows])
+                img01 = np.stack([np.asarray(
+                    cur[i].convert("RGB"), np.float32) / 255.0 for i in rows])
+                m01 = mask01[[min(i, n - 1) for i in rows]]
+                noise = jnp.broadcast_to(noise1, (bucket,) + noise1.shape)
+                out = self._sample_batch_jit(
+                    self.params, text_emb, jnp.asarray(img01),
+                    jnp.asarray(m01), jnp.asarray(control), noise, tables,
+                    steps=steps, guidance=float(guidance),
+                    cond_scale=float(cscale))
+                arr = np.nan_to_num(np.asarray(out, np.float32))
+                arr = (np.clip(arr, 0.0, 1.0) * 255).astype(np.uint8)
+                for k, i in enumerate(idxs):
+                    out_all[i] = Image.fromarray(arr[k])
+            cur = out_all
+        return cur
+
+    def inpaint_batch_fn(self) -> Callable:
+        """Batched variant of inpaint_fn: list of (image, mask) -> list of
+        PIL, layers sharing UNet launches (reference runs them
+        sequentially)."""
+        def fn(pairs):
+            originals = [(im.copy(), mk.copy()) for im, mk in pairs]
+            imgs = [preprocess_image(im) for im, _ in pairs]
+            msks = [preprocess_mask(mk) for _, mk in pairs]
+            outs = self.generate_batch(imgs, msks)
+            final = []
+            for out, (orig, orig_mask) in zip(outs, originals):
+                out = out.resize(orig.size, Image.LANCZOS)
+                out = postprocess_result(out, orig, orig_mask)
+                final.append(finalize_sketch(out))
+            return final
+
+        return fn
 
     # ------------------------------------------------------------------
     def inpaint_fn(self) -> Callable:

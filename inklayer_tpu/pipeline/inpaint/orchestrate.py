@@ -106,9 +106,15 @@ class Inpainter:
     user prompt, cfg 7.0, cond 0.6, ONE pass, no sketch postprocess)."""
 
     def __init__(self, inpaint_func: Callable,
-                 single_layer_func: Optional[Callable] = None):
+                 single_layer_func: Optional[Callable] = None,
+                 inpaint_batch_func: Optional[Callable] = None):
+        """inpaint_batch_func([(image, mask), ...]) -> [PIL]: optional
+        batched backend — independent layers share one UNet launch per
+        solver step (the reference inpaints them strictly sequentially,
+        inpainting/util.py:263-316)."""
         self.inpaint_func = inpaint_func
         self.single_layer_func = single_layer_func
+        self.inpaint_batch_func = inpaint_batch_func
 
     def inpaint_single_layer(self, image: Image.Image, mask: Image.Image,
                              prompt: str) -> Image.Image:
@@ -136,6 +142,10 @@ class Inpainter:
                 shutil.rmtree(d)
             os.makedirs(d, exist_ok=True)
 
+        # layer assembly depends only on masks + sketch (never on other
+        # layers' inpaint results) — assemble everything first, then batch
+        # the diffusion calls across independent layers
+        todo = []  # (i, layer, edit_mask, orig_mask)
         for i in range(len(masks)):
             edit_mask, layer, debug, need_inpaint, orig_mask = \
                 assemble_inpaint_input(masks, i, sketch_rgb)
@@ -151,16 +161,30 @@ class Inpainter:
             if need_inpaint:
                 Image.fromarray(edit_mask.astype(np.uint8) * 255).save(
                     os.path.join(cur_debug, "edit_mask.png"))
-                inpainted = self.inpaint_func(
-                    Image.fromarray(layer),
-                    Image.fromarray(edit_mask.astype(np.uint8) * 255))
+                todo.append((i, layer, edit_mask, orig_mask))
+
+        if todo:
+            pairs = [(Image.fromarray(layer),
+                      Image.fromarray(edit_mask.astype(np.uint8) * 255))
+                     for _, layer, edit_mask, _ in todo]
+            if self.inpaint_batch_func is not None and len(pairs) > 1:
+                results = self.inpaint_batch_func(pairs)
+            else:
+                results = [self.inpaint_func(im, mk) for im, mk in pairs]
+            for (i, layer, _edit, orig_mask), inpainted in zip(todo, results):
+                cur_debug = os.path.join(debug_dir, f"mask_{i}")
                 inpainted.save(os.path.join(cur_debug, "inpainted_image.png"))
                 final = composite_original_onto_inpainted(
                     inpainted, layer, orig_mask)
                 final.save(os.path.join(cur_debug, "final_composited.png"))
                 final.save(os.path.join(layers_dir, f"layer_{i}.png"))
 
-        rgba_dir = layers_dir.replace("layers", "layers_rgba")
+        # reference: inpainted_dir.replace("layers", "layers_rgba")
+        # (runner.py:100) — applied to the BASENAME only: a parent
+        # directory containing "layers" must not be rewritten
+        rgba_dir = os.path.join(
+            os.path.dirname(layers_dir),
+            os.path.basename(layers_dir).replace("layers", "layers_rgba"))
         create_rgba_layers_on_dir(layers_dir, rgba_dir)
         return layers_dir
 

@@ -198,3 +198,89 @@ def test_unet_sd15_layout_unchanged(rng):
     assert "block_0" not in p["down_0_attn_0"]
     # final down block has no attention
     assert not any(k.startswith("down_3_attn") for k in p)
+
+
+def _tiny_pipe(rng):
+    cfg = TINY
+    text = CLIPTextEncoder(hidden=16, heads=1, max_len=16)
+    tparams = text.init(jax.random.key(0), jnp.zeros((2, 16), jnp.int32))
+    unet = UNet2DCondition(block_channels=cfg.unet_block_channels,
+                           context_dim=16)
+    x9 = jnp.zeros((2, 8, 8, 9))
+    uparams = unet.init(jax.random.key(1), x9, jnp.zeros((2,), jnp.int32),
+                        jnp.zeros((2, 16, 16)))
+    cn = ControlNet(block_channels=cfg.unet_block_channels, context_dim=16)
+    cparams = cn.init(jax.random.key(2), jnp.zeros((2, 8, 8, 4)),
+                      jnp.zeros((2,), jnp.int32), jnp.zeros((2, 16, 16)),
+                      jnp.zeros((2, 64, 64, 3)))
+    vae = AutoencoderKL(cfg.vae_channels, 4)
+    vparams = vae.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)))
+    params = {"text": tparams, "unet": uparams, "controlnet": cparams,
+              "vae": vparams}
+    return ControlNetInpaintPipeline(params, cfg)
+
+
+def test_generate_batch_matches_independent_generates(rng):
+    """Batched layer sampling (one UNet launch per step for B layers) is
+    semantically identical to B independent generate() calls — same
+    per-layer noise (the reference seeds its generator per call), same
+    two-pass control rebuild per layer."""
+    pipe = _tiny_pipe(rng)
+    imgs = [Image.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8))
+            for _ in range(3)]
+    masks = [Image.fromarray(
+        (rng.random((64, 64)) > 0.5).astype(np.uint8) * 255)
+        for _ in range(3)]
+    solo = [pipe.generate(im, mk, num_passes=2)
+            for im, mk in zip(imgs, masks)]
+    batched = pipe.generate_batch(imgs, masks, num_passes=2)
+    assert len(batched) == 3
+    for i, (a, b) in enumerate(zip(solo, batched)):
+        aa = np.asarray(a, np.float32)
+        bb = np.asarray(b, np.float32)
+        # identical math up to batched-vs-single fusion reassociation; the
+        # uint8 quantization leaves at most off-by-one pixels
+        assert np.abs(aa - bb).max() <= 1.0, i
+
+
+def test_inpainter_batches_layers(tmp_path, rng):
+    """run_on_sketch_dir routes multi-layer inpainting through the batched
+    backend in ONE call and writes the identical per-layer contract."""
+    from inklayer_tpu.pipeline.inpaint.orchestrate import Inpainter
+
+    h = w = 48
+    sketch = np.full((h, w, 3), 255, np.uint8)
+    sketch[5:40, 5:8] = 0
+    sketch[5:8, 5:40] = 0
+    sketch[20:44, 20:23] = 0
+    sketch[41:44, 20:44] = 0
+    # m1 and m2 both overlap m0's bbox -> BOTH need inpainting (one
+    # batched call); m0 is front-most (never inpainted)
+    m0 = np.zeros((h, w), bool); m0[4:30, 4:41] = True
+    m1 = np.zeros((h, w), bool); m1[10:45, 19:45] = True
+    m2 = np.zeros((h, w), bool); m2[8:45, 4:10] = True
+    masks = [m0, m1, m2]
+    d = tmp_path / "scene"
+    (d / "masks_final").mkdir(parents=True)
+    for i, m in enumerate(masks):
+        Image.fromarray(m.astype(np.uint8) * 255).save(
+            d / "masks_final" / f"mask_{i}.png")
+    Image.fromarray(sketch).save(d / "input.png")
+
+    calls = {"batch": 0, "single": 0}
+
+    def single(im, mk):
+        calls["single"] += 1
+        return im.copy()
+
+    def batch(pairs):
+        calls["batch"] += 1
+        return [im.copy() for im, _ in pairs]
+
+    inp = Inpainter(single, inpaint_batch_func=batch)
+    layers_dir = inp.run_on_sketch_dir(str(d))
+    assert calls["batch"] == 1 and calls["single"] == 0
+    import glob as g
+    import os
+    assert len(g.glob(os.path.join(layers_dir, "layer_*.png"))) == 3
+    assert os.path.isdir(str(d / "complete_layers_rgba"))
