@@ -194,29 +194,29 @@ class SamPredictor:
 
     def masks_from_lowres(self, state: dict, lowres, n: int):
         """(cap, 256, 256) low-res logits -> (n, H, W) bool device masks
-        for the first n prompts."""
-        full = self._postprocess_device_state(state, lowres[:n])
-        return full > self.cfg.mask_threshold
+        for the first n prompts.
+
+        n is BUCKETED up to the next power of two (then sliced) so the
+        fused upsample program compiles once per bucket instead of once
+        per detection count; the whole up->crop->resize->threshold chain
+        is ONE jit (the eager composition paid ~4 dispatches + repeated
+        resize-matrix uploads per image — round-4 itemization,
+        scripts/profile_sam_decode.py)."""
+        cap = lowres.shape[0]
+        b = 1
+        while b < n:
+            b *= 2
+        b = min(b, cap)
+        masks = _masks_from_lowres_jit(
+            lowres[:b], state["input_hw"], state["orig_hw"],
+            self.cfg.image_size, self.cfg.mask_threshold,
+            jax.default_backend() == "tpu")
+        return masks[:n]
 
     def _postprocess_device_state(self, state: dict, low_res_logits):
-        c = self.cfg
-        n = low_res_logits.shape[0]
-        if jax.default_backend() == "tpu":
-            # same linear map on the MXU (ops/image.py resize_batch_matmul);
-            # the gather-based resize lowering cost ~19ms for 64 masks
-            from inklayer_tpu.ops.image import resize_batch_matmul
-            up = resize_batch_matmul(
-                low_res_logits, (c.image_size, c.image_size))
-            ih, iw = state["input_hw"]
-            up = up[:, :ih, :iw]
-            oh, ow = state["orig_hw"]
-            return resize_batch_matmul(up, (oh, ow))
-        up = jax.image.resize(
-            low_res_logits, (n, c.image_size, c.image_size), method="bilinear")
-        ih, iw = state["input_hw"]
-        up = up[:, :ih, :iw]
-        oh, ow = state["orig_hw"]
-        return jax.image.resize(up, (n, oh, ow), method="bilinear")
+        return _postprocess_resize(
+            low_res_logits, state["input_hw"], state["orig_hw"],
+            self.cfg.image_size, jax.default_backend() == "tpu")
 
     # -- prompts ----------------------------------------------------------
     def predict_boxes(
@@ -277,3 +277,43 @@ class SamPredictor:
         logits, iou, low = self.predict_boxes(boxes, multimask_output,
                                               return_logits=True)
         return logits > self.cfg.mask_threshold, iou, low
+
+
+# ---------------------------------------------------------------------------
+# fused mask postprocessing (module level so all predictors share the jit
+# cache; shapes are static per (n-bucket, input_hw, orig_hw))
+# ---------------------------------------------------------------------------
+
+def _postprocess_resize(low_res_logits, input_hw, orig_hw, image_size,
+                        on_tpu):
+    """(n, 256, 256) logits -> (n, H_orig, W_orig) logits.  Mirrors
+    modeling/sam.py postprocess_masks: bilinear to model size, crop the
+    valid region, bilinear to the original size."""
+    n = low_res_logits.shape[0]
+    ih, iw = input_hw
+    oh, ow = orig_hw
+    if on_tpu:
+        # same linear map on the MXU (ops/image.py resize_batch_matmul);
+        # the gather-based resize lowering runs ~20x off roofline here
+        from inklayer_tpu.ops.image import resize_batch_matmul
+        up = resize_batch_matmul(low_res_logits, (image_size, image_size))
+        return resize_batch_matmul(up[:, :ih, :iw], (oh, ow))
+    up = jax.image.resize(low_res_logits, (n, image_size, image_size),
+                          method="bilinear")
+    return jax.image.resize(up[:, :ih, :iw], (n, oh, ow), method="bilinear")
+
+
+@jax.jit
+def _threshold_masks(full, thr):
+    return full > thr
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("input_hw", "orig_hw",
+                                              "image_size", "on_tpu"))
+def _masks_from_lowres_jit(lowres, input_hw, orig_hw, image_size, thr,
+                           on_tpu):
+    full = _postprocess_resize(lowres, input_hw, orig_hw, image_size, on_tpu)
+    return full > thr

@@ -137,11 +137,42 @@ def resize_matrix(n_in: int, n_out: int, method: str = "bilinear",
     key = (n_in, n_out, method, antialias)
     m = _RESIZE_MAT_CACHE.get(key)
     if m is None:
-        cpu = jax.devices("cpu")[0]
-        eye = jax.device_put(jnp.eye(n_in, dtype=jnp.float32), cpu)
-        m = np.asarray(jax.image.resize(eye, (n_out, n_in), method=method,
-                                        antialias=antialias))
+        # ensure_compile_time_eval: callable from inside a jit trace (the
+        # fused mask-postprocess program builds its matrices at trace time)
+        with jax.ensure_compile_time_eval():
+            cpu = jax.devices("cpu")[0]
+            eye = jax.device_put(jnp.eye(n_in, dtype=jnp.float32), cpu)
+            m = np.asarray(jax.image.resize(eye, (n_out, n_in),
+                                            method=method,
+                                            antialias=antialias))
         _RESIZE_MAT_CACHE[key] = m
+    return m
+
+
+_RESIZE_MAT_DEV_CACHE: dict = {}
+
+
+def resize_matrix_device(n_in: int, n_out: int, method: str = "bilinear",
+                         antialias: bool = True,
+                         dtype=None) -> jax.Array:
+    """Device-resident resize_matrix, uploaded ONCE per (shape, dtype).
+    Re-uploading per call costs megabytes through slow transports (the
+    eager mask-upsample path paid ~4MB of matrix uploads per image)."""
+    np_dtype = np.dtype(jnp.dtype(dtype)) if dtype is not None else None
+    m_np = resize_matrix(n_in, n_out, method, antialias)
+    if np_dtype is not None and m_np.dtype != np_dtype:
+        m_np = m_np.astype(np_dtype)
+    from jax._src import core as _core
+    if not _core.trace_state_clean():
+        # inside a trace: hand back the host constant — jnp ops lift it
+        # into the compiled program (caching a traced asarray would leak
+        # the tracer into the cross-call cache)
+        return m_np
+    key = (n_in, n_out, method, antialias, str(dtype))
+    m = _RESIZE_MAT_DEV_CACHE.get(key)
+    if m is None:
+        m = jnp.asarray(m_np)
+        _RESIZE_MAT_DEV_CACHE[key] = m
     return m
 
 
@@ -153,7 +184,7 @@ def resize_batch_matmul(x: jax.Array, out_hw: Tuple[int, int],
     runs ~20x off roofline for SAM's 64x256^2 -> 1024^2 mask upsample)."""
     n, h, w = x.shape
     oh, ow = out_hw
-    wh = jnp.asarray(resize_matrix(h, oh, method, antialias), x.dtype)
-    ww = jnp.asarray(resize_matrix(w, ow, method, antialias), x.dtype)
+    wh = resize_matrix_device(h, oh, method, antialias, x.dtype)
+    ww = resize_matrix_device(w, ow, method, antialias, x.dtype)
     y = jnp.einsum("oh,nhw->now", wh, x, preferred_element_type=x.dtype)
     return jnp.einsum("now,pw->nop", y, ww, preferred_element_type=x.dtype)
