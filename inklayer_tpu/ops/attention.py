@@ -74,12 +74,15 @@ def sdpa(
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, nk_valid: int):
-    q = q_ref[0]  # (bq, D)
+    # scale folded onto the (bq, D) query block: (bq, Nk) would cost a
+    # full-width VPU pass per program (2.4M muls at the SD UNet's 9216-token
+    # blocks), (bq, D) costs 32K
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     k = k_ref[0]  # (Nk, D)
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (bq, Nk)
+    )  # (bq, Nk)
     if nk_valid < k.shape[0]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < nk_valid, s, _NEG_INF)

@@ -13,6 +13,7 @@ output contract.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from dataclasses import dataclass, field
@@ -404,7 +405,11 @@ class InkLayerPipeline:
         # PNG encodes overlap device compute; drained before returning
         was_async = self.async_io
         self.async_io = True
-        self._submit(image_pil.save, os.path.join(out_dir, "input.png"))
+        # compress_level=1: zlib level 6 spends ~4x the host CPU for ~15%
+        # smaller files — pure host-tail latency on the writer threads
+        self._submit(functools.partial(image_pil.save,
+                                       os.path.join(out_dir, "input.png"),
+                                       compress_level=1))
 
         # single host->device upload of the input image (one channel when
         # grayscale-in-RGB); every stage's jnp.asarray(image) is then a
@@ -560,7 +565,7 @@ class InkLayerPipeline:
                                     os.path.join(out_dir, "bboxes.json"))
             io_out.draw_boxes_image(image_pil, xyxy_norm.tolist(), scores,
                                     labels=det.get("labels")).save(
-                os.path.join(out_dir, "bboxes.png"))
+                os.path.join(out_dir, "bboxes.png"), compress_level=1)
 
         # bboxes.json/.png are not in the --no_intermediate keep-list:
         # skip the doomed draw+encode (host time on the writer threads)
@@ -591,7 +596,8 @@ class InkLayerPipeline:
             io_out.save_masks_dir(masks, os.path.join(out_dir, "masks"))
             seg = color_sketch_by_masks(image, list(masks))
             Image.fromarray(seg).save(
-                os.path.join(out_dir, "segmented_sketch.png"))
+                os.path.join(out_dir, "segmented_sketch.png"),
+                compress_level=1)
 
         # --no_intermediate: these outputs are deleted by the final cleanup
         # (io/outputs.KEEP_LIST) — skip the device->host transfers entirely
@@ -691,7 +697,8 @@ class InkLayerPipeline:
                 json.dump(final_data, f, indent=4)
             io_out.draw_boxes_image(image_pil, final_norm,
                                     final_data["scores"]).save(
-                os.path.join(out_dir, "bboxes_final.png"))
+                os.path.join(out_dir, "bboxes_final.png"),
+                compress_level=1)
 
         self._submit(write_final_bbox_outputs)
 
@@ -752,10 +759,11 @@ class InkLayerPipeline:
             io_out.save_masks_dir(final_masks,
                                   os.path.join(out_dir, "masks_final"))
             Image.fromarray(extras[0]).convert("RGB").save(
-                os.path.join(out_dir, "depth_map.png"))
+                os.path.join(out_dir, "depth_map.png"), compress_level=1)
             final_seg = color_sketch_by_masks(image, list(final_masks))
             Image.fromarray(final_seg).save(
-                os.path.join(out_dir, "segmented_sketch_final.png"))
+                os.path.join(out_dir, "segmented_sketch_final.png"),
+                compress_level=1)
 
         self._submit(write_final_outputs, disjoint_dev, final_dev, depth_u8,
                      extra_valid, capped_dev)
