@@ -576,9 +576,19 @@ class InkLayerPipeline:
         from inklayer_tpu.ops.bits import masks_to_host
 
         n_det = len(boxes_abs)
+        # --no_intermediate + chained decode: masks/masks_cleaned are never
+        # written, and NMS/refine only ever read the PREFILTER SURVIVORS'
+        # cleaned masks — so defer mask materialization until after the
+        # host prefilter and compute it for a pow2 BUCKET of the survivor
+        # count instead of the full top-K capacity (mask cleaning was 37%
+        # of device busy at capacity 64; real sketches keep ~10-30).  The
+        # bucket also fixes per-count compile churn for varying n_det.
+        subset_masks = (no_intermediate and device_front is None
+                        and lowres_dev is not None and not mmdet_json
+                        and n_det > 0)
         t0 = time.perf_counter()
-        if device_front is not None:
-            pass  # capacity-K masks computed before the detect readback
+        if device_front is not None or subset_masks:
+            pass  # capacity-K masks precomputed / deferred to the prefilter
         elif n_det and lowres_dev is not None:
             # chained path: low-res logits already computed for the top-K
             # prefix during the detect readback
@@ -610,7 +620,7 @@ class InkLayerPipeline:
 
         # ---- mask cleaning (device) --------------------------------------
         t0 = time.perf_counter()
-        if cleaned_dev is None:
+        if cleaned_dev is None and not subset_masks:
             cleaned_dev, capped_dev = clean_masks_device(masks_dev,
                                                          cfg.refine,
                                                          with_stats=True)
@@ -663,16 +673,38 @@ class InkLayerPipeline:
         else:
             kept0, order0, gate, iou_bbox = nms_host_prefilter(
                 boxes_abs, scores, gray, cfg.refine)
-            if len(kept0):
+            k = len(kept0)
+            if subset_masks and k:
+                # materialize + clean ONLY the survivors, padded to a pow2
+                # bucket (one compile per bucket).  cleaned_dev rows are
+                # then in kept0-POSITION space, matching the gate/iou
+                # matrices the prefilter already returns in that space.
+                bucket = 1
+                while bucket < max(k, 1):
+                    bucket *= 2
+                bucket = min(bucket, int(lowres_dev.shape[0]))
+                sel = np.zeros((bucket,), np.int32)
+                sel[:k] = kept0
+                t0s = time.perf_counter()
+                masks_dev = self.sam.masks_from_lowres(
+                    sam_state, lowres_dev[jnp.asarray(sel)], bucket)
+                self.stage_times.add("segment", time.perf_counter() - t0s)
+                t0s = time.perf_counter()
+                cleaned_dev, capped_dev = clean_masks_device(
+                    masks_dev, cfg.refine, with_stats=True)
+                self.stage_times.add("clean", time.perf_counter() - t0s)
+                front_rows = np.arange(k)
+            else:
+                front_rows = kept0
+            if k:
                 # ONE fused dispatch for the whole NMS + depth-stat device
                 # front, ONE readback for its results
                 keep_dev, dscores_dev, doverlap_dev = nms_depth_front(
-                    kept0, gate, iou_bbox, order0, cleaned_dev, gray_dev,
-                    depth, cfg.refine)
+                    front_rows, gate, iou_bbox, order0, cleaned_dev,
+                    gray_dev, depth, cfg.refine)
                 self._count_sync()
                 keep_p, dscores_p, doverlap_p = jax.device_get(
                     (keep_dev, dscores_dev, doverlap_dev))
-                k = len(kept0)
                 keep = keep_p[:k]
                 dscores = dscores_p[:k]
                 doverlap = doverlap_p[:k, :k]
@@ -682,6 +714,10 @@ class InkLayerPipeline:
             else:
                 kept = np.zeros((0,), np.int64)
                 rows_of_kept = kept
+                if subset_masks:  # nothing survived the prefilter: no mask
+                    # work was (or needs to be) dispatched at all
+                    cleaned_dev = jnp.zeros((0, h, w), bool)
+                    capped_dev = jnp.zeros((0,), bool)
         self.stage_times.add("nms", time.perf_counter() - t0)
         final_norm = [xyxy_norm[i].tolist() for i in kept]
         final_data = {
@@ -709,7 +745,11 @@ class InkLayerPipeline:
         t0 = time.perf_counter()
         sort_result = None
         if len(kept):
-            kept_masks = cleaned_dev[np.asarray(kept)]
+            # subset mode's cleaned stack is in kept0-position space;
+            # the full stacks (device_front / keep-intermediate) are in
+            # original-detection-index space
+            kept_masks = cleaned_dev[np.asarray(
+                rows_of_kept if subset_masks else kept)]
             kept_boxes = np.asarray(
                 [[int(xyxy_norm[i][0] * w), int(xyxy_norm[i][1] * h),
                   int(xyxy_norm[i][2] * w), int(xyxy_norm[i][3] * h)]

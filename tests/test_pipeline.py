@@ -281,3 +281,32 @@ def test_device_front_mode_matches_default(tmp_path, sketch_file):
         a = np.asarray(Image.open(os.path.join(da, "masks_final", name)))
         b = np.asarray(Image.open(os.path.join(db, "masks_final", name)))
         np.testing.assert_array_equal(a, b)
+
+
+def test_no_intermediate_final_outputs_match_full(pipeline, sketch_file,
+                                                  tmp_path):
+    """--no_intermediate defers mask materialization to the prefilter
+    survivors (pow2-bucketed subset clean) — its FINAL outputs must be
+    byte-identical to the keep-intermediate path that cleans every
+    detection."""
+    full_dir = pipeline.run(sketch_file, str(tmp_path / "full"),
+                            no_intermediate=False)
+    pipeline.drain()
+    slim_dir = pipeline.run(sketch_file, str(tmp_path / "slim"),
+                            no_intermediate=True)
+    pipeline.drain()
+
+    with open(os.path.join(full_dir, "bboxes_final.json")) as f:
+        a = json.load(f)
+    with open(os.path.join(slim_dir, "bboxes_final.json")) as f:
+        b = json.load(f)
+    assert a == b
+    ma = sorted(os.listdir(os.path.join(full_dir, "masks_final")))
+    mb = sorted(os.listdir(os.path.join(slim_dir, "masks_final")))
+    assert ma == mb and ma, "vacuous: no final masks"
+    for name in ma:
+        pa_ = np.asarray(Image.open(os.path.join(full_dir, "masks_final",
+                                                 name)))
+        pb_ = np.asarray(Image.open(os.path.join(slim_dir, "masks_final",
+                                                 name)))
+        np.testing.assert_array_equal(pa_, pb_, err_msg=name)
