@@ -275,15 +275,16 @@ class PipelineConfig:
     # mask path (measured 505 vs 414 ms/img).  Turn ON for PCIe-local TPU
     # VMs where readbacks complete as their buffers become ready.
     device_front: bool = False
-    # run_dir worker threads.  2 threads overlap image i's data-dependent
-    # readbacks with image i+1's device front (the transport completes gets
-    # as their dependencies finish and serves parallel gets concurrently —
-    # measured 2026-08-20: workers=1 2.4-2.9, workers=2 2.8-3.3, workers=3
-    # 2.9-3.3 sk/s on 8-12 image sweeps; workers=2 is the stable pick).
+    # run_dir worker threads: concurrent images overlap each other's
+    # data-dependent readbacks (the transport completes gets as their
+    # dependencies finish and serves parallel gets concurrently).
+    # Measured 2026-08-20/21 on 8-image sweeps: workers=1 2.4-2.9,
+    # 2: 3.4-3.7, 3: 3.7-4.3, 4: 3.5-4.4, 5-6: plateau/decline — 4 is the
+    # pick after the subset-clean cut device busy to ~136 ms/img.
     # NOTE an earlier transport build drained the whole queue on every get
     # and made ANY concurrency lose (r03 measured 0.95 sk/s at workers=2);
     # if sweeps regress hard, set 1 and re-measure.
-    sweep_workers: int = 2
+    sweep_workers: int = 4
 
 
 # ---------------------------------------------------------------------------
