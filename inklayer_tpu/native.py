@@ -39,7 +39,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build()
+    fresh = (os.path.exists(_LIB_PATH) and os.path.exists(_SRC)
+             and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC))
+    path = _LIB_PATH if fresh else _build()
     if path is None:
         return None
     lib = ctypes.CDLL(path)

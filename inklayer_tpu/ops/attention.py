@@ -76,7 +76,9 @@ def sdpa(
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, nk_valid: int):
     # scale folded onto the (bq, D) query block: (bq, Nk) would cost a
     # full-width VPU pass per program (2.4M muls at the SD UNet's 9216-token
-    # blocks), (bq, D) costs 32K
+    # blocks), (bq, D) costs 32K.  For bf16 inputs the fold re-rounds q to
+    # bf16 (~0.4%/element vs exact f32 post-dot scaling) — inside the
+    # parity tolerances the oracle tests assert (atol 2e-2 bf16).
     q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)
     k = k_ref[0]  # (Nk, D)
     v = v_ref[0]

@@ -162,8 +162,16 @@ def resize_matrix_device(n_in: int, n_out: int, method: str = "bilinear",
     m_np = resize_matrix(n_in, n_out, method, antialias)
     if np_dtype is not None and m_np.dtype != np_dtype:
         m_np = m_np.astype(np_dtype)
-    from jax._src import core as _core
-    if not _core.trace_state_clean():
+    try:
+        _trace_state_clean = jax.core.trace_state_clean  # public alias
+    except AttributeError:  # pragma: no cover - JAX version drift
+        try:
+            from jax._src import core as _core
+            _trace_state_clean = _core.trace_state_clean
+        except Exception:
+            def _trace_state_clean():
+                return False  # conservatively hand back the host constant
+    if not _trace_state_clean():
         # inside a trace: hand back the host constant — jnp ops lift it
         # into the compiled program (caching a traced asarray would leak
         # the tracer into the cross-call cache)

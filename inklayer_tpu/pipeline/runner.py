@@ -244,7 +244,7 @@ class InkLayerPipeline:
         output-contract work runs on writer threads while image i+1 is on
         device (the reference processes strictly sequentially).
 
-        workers defaults to cfg.sweep_workers (2): worker threads run
+        workers defaults to cfg.sweep_workers (4): worker threads run
         images concurrently, so image i's data-dependent readback waits
         overlap image i+1's dispatch + device work.  Re-measured
         2026-08-20: the transport completes a get as soon as its
@@ -805,8 +805,12 @@ class InkLayerPipeline:
                 os.path.join(out_dir, "segmented_sketch_final.png"),
                 compress_level=1)
 
+        # cc-cap flags: keep only the rows the pipeline actually used —
+        # capacity-K garbage rows (device_front) / pow2-padding duplicates
+        # of lowres row 0 (subset) would inflate cc_cap_hits spuriously
+        capped_real = capped_dev[: (k if subset_masks else n_det)]
         self._submit(write_final_outputs, disjoint_dev, final_dev, depth_u8,
-                     extra_valid, capped_dev)
+                     extra_valid, capped_real)
 
         if _prefetch_hook is not None:
             # run_dir lookahead: ALL of this image's device work is queued;
