@@ -27,7 +27,7 @@ def _build() -> Optional[str]:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-             "-o", _LIB_PATH],
+             "-o", _LIB_PATH, "-lz"],
             check=True, capture_output=True)
         return _LIB_PATH
     except Exception:
@@ -54,6 +54,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.connected_components.argtypes = [u8, i32, ctypes.c_int, ctypes.c_int,
                                          ctypes.c_int]
     lib.connected_components.restype = ctypes.c_int
+    if hasattr(lib, "png_encode"):
+        lib.png_encode.argtypes = [u8, ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                   u8, ctypes.c_longlong]
+        lib.png_encode.restype = ctypes.c_longlong
     _lib = lib
     return _lib
 
@@ -100,3 +105,28 @@ def connected_components(mask: np.ndarray, connectivity: int = 8
     n = lib.connected_components(np.ascontiguousarray(mask, np.uint8), labels,
                                  h, w, connectivity)
     return labels, int(n)
+
+
+def png_encode(arr: np.ndarray, bilevel: bool = False,
+               level: int = 1) -> Optional[bytes]:
+    """Encode (H, W) or (H, W, 3) uint8 to PNG bytes (filter-None + zlib).
+
+    Decodes to bit-identical pixels vs PIL's encoder at a fraction of the
+    host CPU (PIL spends most of its PNG time on adaptive filter search).
+    bilevel packs a 0/nonzero (H, W) mask to 1-bit grayscale.  Returns None
+    when the native lib (or png_encode in a stale build) is unavailable —
+    callers fall back to PIL.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "png_encode"):
+        return None
+    arr = np.ascontiguousarray(arr, np.uint8)
+    h, w = arr.shape[:2]
+    channels = 1 if arr.ndim == 2 else arr.shape[2]
+    cap = arr.size + arr.size // 2 + 4096
+    out = np.empty((cap,), np.uint8)
+    n = lib.png_encode(arr.reshape(-1), h, w, channels,
+                       1 if bilevel else 0, level, out, cap)
+    if n <= 0:
+        return None
+    return out[:n].tobytes()

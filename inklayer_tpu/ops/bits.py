@@ -74,13 +74,16 @@ def disjoint_masks_to_host(masks_dev: jax.Array) -> np.ndarray:
     return lab[None, :, :] == np.arange(1, n + 1, dtype=np.uint8)[:, None, None]
 
 
-def batched_final_readback(stacks, arrays=()):
+def batched_final_readback(stacks, arrays=(), with_labels=False):
     """Read several DISJOINT mask stacks plus extra device arrays in ONE
     tunnel round-trip.
 
     Each separate np.asarray(device_arr) pays a full ~35ms RTT through the
     axon tunnel; jax.device_get on the combined list batches them.  Returns
-    (list of (N, H, W) bool host stacks, list of host extras)."""
+    (list of (N, H, W) bool host stacks, list of host extras); with
+    with_labels=True additionally returns the per-stack uint8 label maps
+    (0 = background, i+1 = stack[i]; None for empty/packed/overlapping
+    stacks) so consumers like the LUT colorizer skip re-deriving them."""
     reqs = []
     payload = []
     for stk in stacks:
@@ -96,12 +99,14 @@ def batched_final_readback(stacks, arrays=()):
             payload.extend((lab, ok))
     payload.extend(arrays)
     flat = jax.device_get(payload)
-    out, i = [], 0
+    out, labels, i = [], [], 0
     for kind, meta in reqs:
         if kind == "empty":
             out.append(np.zeros(meta, bool))
+            labels.append(None)
         elif kind == "packed":
             out.append(unpack_bits_host(flat[i], meta))
+            labels.append(None)
             i += 1
         else:
             n, stk = meta
@@ -110,8 +115,12 @@ def batched_final_readback(stacks, arrays=()):
             if bool(ok):
                 out.append(lab[None, :, :] ==
                            np.arange(1, n + 1, dtype=np.uint8)[:, None, None])
+                labels.append(lab)
             else:  # overlapping stack (shouldn't happen): packed fallback
                 out.append(masks_to_host(stk))
+                labels.append(None)
+    if with_labels:
+        return out, list(flat[i:]), labels
     return out, list(flat[i:])
 
 

@@ -20,6 +20,8 @@
 #include <queue>
 #include <vector>
 
+#include <zlib.h>
+
 namespace {
 
 constexpr float kInf = std::numeric_limits<float>::infinity();
@@ -181,6 +183,94 @@ int connected_components(const uint8_t* mask, int32_t* labels, int h, int w,
     }
   }
   return next;
+}
+
+// Fast PNG encoder: filter type 0 (None) on every scanline + zlib.
+//
+// PIL's PNG path spends most of its CPU on per-row adaptive filter search;
+// for the pipeline's outputs (binary masks, mostly-white sketches,
+// replicated-gray depth maps) filter None + deflate level 1 compresses
+// nearly as well at a fraction of the cost — and decodes to bit-identical
+// pixels (the output contract is pixel values, not byte stream).
+//
+// data: h*w*channels uint8, row-major.  channels 1 (gray) or 3 (RGB).
+// bilevel != 0 (channels must be 1): input bytes are 0/nonzero; packed to
+// 1-bit grayscale (decoders expand to 0/255).
+// Returns bytes written to out, or -1 (bad args) / -2 (out_cap too small)
+// / -3 (zlib error).
+long long png_encode(const uint8_t* data, int h, int w, int channels,
+                     int bilevel, int zlevel, uint8_t* out,
+                     long long out_cap) {
+  if (h <= 0 || w <= 0 || (channels != 1 && channels != 3) ||
+      (bilevel && channels != 1))
+    return -1;
+  const size_t rowbytes =
+      bilevel ? (static_cast<size_t>(w) + 7) / 8 : static_cast<size_t>(w) * channels;
+  const size_t raw_size = static_cast<size_t>(h) * (rowbytes + 1);
+  std::vector<uint8_t> raw(raw_size);
+  const uint8_t* src = data;
+  uint8_t* dst = raw.data();
+  for (int y = 0; y < h; ++y) {
+    *dst++ = 0;  // filter: None
+    if (bilevel) {
+      std::memset(dst, 0, rowbytes);
+      for (int x = 0; x < w; ++x)
+        if (src[x]) dst[x >> 3] |= static_cast<uint8_t>(0x80u >> (x & 7));
+      src += w;
+      dst += rowbytes;
+    } else {
+      std::memcpy(dst, src, rowbytes);
+      src += rowbytes;
+      dst += rowbytes;
+    }
+  }
+  uLongf comp_cap = compressBound(static_cast<uLong>(raw_size));
+  std::vector<uint8_t> comp(comp_cap);
+  if (compress2(comp.data(), &comp_cap, raw.data(),
+                static_cast<uLong>(raw_size), zlevel) != Z_OK)
+    return -3;
+
+  const size_t total = 8 + (12 + 13) + (12 + comp_cap) + 12;
+  if (static_cast<long long>(total) > out_cap) return -2;
+  uint8_t* p = out;
+  auto put32 = [&p](uint32_t v) {
+    *p++ = static_cast<uint8_t>(v >> 24);
+    *p++ = static_cast<uint8_t>(v >> 16);
+    *p++ = static_cast<uint8_t>(v >> 8);
+    *p++ = static_cast<uint8_t>(v);
+  };
+  auto chunk = [&](const char* type, const uint8_t* payload, size_t len) {
+    put32(static_cast<uint32_t>(len));
+    uint8_t* crc_start = p;
+    std::memcpy(p, type, 4);
+    p += 4;
+    if (len) std::memcpy(p, payload, len);
+    p += len;
+    uLong crc = crc32(0L, crc_start, static_cast<uInt>(4 + len));
+    put32(static_cast<uint32_t>(crc));
+  };
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  std::memcpy(p, sig, 8);
+  p += 8;
+  uint8_t ihdr[13];
+  uint8_t* q = ihdr;
+  auto put32b = [&q](uint32_t v) {
+    *q++ = static_cast<uint8_t>(v >> 24);
+    *q++ = static_cast<uint8_t>(v >> 16);
+    *q++ = static_cast<uint8_t>(v >> 8);
+    *q++ = static_cast<uint8_t>(v);
+  };
+  put32b(static_cast<uint32_t>(w));
+  put32b(static_cast<uint32_t>(h));
+  *q++ = bilevel ? 1 : 8;                  // bit depth
+  *q++ = channels == 3 ? 2 : 0;            // color type: RGB / grayscale
+  *q++ = 0;                                // compression
+  *q++ = 0;                                // filter method
+  *q++ = 0;                                // interlace
+  chunk("IHDR", ihdr, 13);
+  chunk("IDAT", comp.data(), comp_cap);
+  chunk("IEND", nullptr, 0);
+  return static_cast<long long>(p - out);
 }
 
 }  // extern "C"

@@ -211,3 +211,22 @@ def test_runner_warns_on_cc_cap_hits(capsys):
     pipe._note_cc_caps(np.asarray([False, False]), "clean_img")
     assert pipe.cc_cap_hits == 2
     assert capsys.readouterr().out == ""
+
+
+def test_color_sketch_by_label_map_bit_identical(rng):
+    from inklayer_tpu.ops.color import color_sketch_by_label_map
+
+    for trial in range(5):
+        h, w, n = 40, 33, int(rng.integers(0, 5))
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        if trial == 2:
+            img[:] = 255  # no strokes
+        if trial == 3:
+            img = np.clip(img, 235, 255)  # faint-stroke global branch
+        if trial == 4:  # grayscale-in-RGB fast path
+            img = np.repeat(img[..., :1], 3, 2)
+        lab = rng.integers(0, n + 1, (h, w)).astype(np.uint8)
+        masks = [lab == i + 1 for i in range(n)]
+        a = color_sketch_by_masks(img, masks)
+        b = color_sketch_by_label_map(img, lab, n)
+        assert np.array_equal(a, b)

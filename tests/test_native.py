@@ -83,3 +83,33 @@ def test_device_chamfer_vs_native_edt(lib, rng):
     approx = np.asarray(chamfer_distance(jnp.asarray(seeds), iters=60))
     assert (approx >= exact - 1e-4).all()
     assert (approx <= exact * 1.09 + 1e-4).all()
+
+
+def test_png_encode_roundtrip(lib, rng):
+    import io
+
+    from PIL import Image
+
+    if not hasattr(lib, "png_encode"):
+        pytest.skip("stale libhost_ops without png_encode")
+    rgb = (rng.random((37, 53, 3)) * 255).astype(np.uint8)
+    gray = (rng.random((41, 29)) * 255).astype(np.uint8)
+    mask = ((rng.random((25, 31)) > 0.5) * 255).astype(np.uint8)
+    for arr, mode in ((rgb, "RGB"), (gray, "L")):
+        data = native.png_encode(arr)
+        dec = np.asarray(Image.open(io.BytesIO(data)).convert(mode))
+        assert np.array_equal(dec, arr)
+    data = native.png_encode(mask, bilevel=True)
+    im = Image.open(io.BytesIO(data))
+    assert im.mode == "1"
+    assert np.array_equal(np.asarray(im.convert("L")), mask)
+
+
+def test_save_png_matches_pil_pixels(tmp_path, rng):
+    from PIL import Image
+
+    from inklayer_tpu.io.outputs import save_png
+
+    arr = (rng.random((30, 44, 3)) * 255).astype(np.uint8)
+    save_png(str(tmp_path / "a.png"), arr)
+    assert np.array_equal(np.asarray(Image.open(tmp_path / "a.png")), arr)
