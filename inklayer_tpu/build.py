@@ -288,5 +288,8 @@ def build_inpainter(cfg: PipelineConfig, dtype: jnp.dtype = jnp.float32,
             num_passes=1)
         return out.resize(image.size, PILImage.LANCZOS)
 
-    return Inpainter(inpaint_func, single_layer_func=single_layer_func,
-                     inpaint_batch_func=inpaint_batch_func)
+    ink = Inpainter(inpaint_func, single_layer_func=single_layer_func,
+                    inpaint_batch_func=inpaint_batch_func)
+    # bench/profiling access to the raw diffusion pipeline (lazily built)
+    ink.get_pipeline = pipe
+    return ink

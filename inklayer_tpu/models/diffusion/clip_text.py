@@ -168,10 +168,13 @@ class CLIPTokenizer:
     def encode(self, text: str, max_len: int = 77) -> np.ndarray:
         if self.vocab is None and text and not self._warned_fallback:
             self._warned_fallback = True
+            import sys
+
+            # stderr: bench.py's stdout must stay a single JSON line
             print("[tokenizer] WARNING: no CLIP vocab.json/merges.txt "
                   "provided — prompt ids are deterministic hashes, NOT real "
                   "CLIP ids (fine for placeholder weights only).  Fetch them "
-                  "with scripts/download_checkpoints.sh.")
+                  "with scripts/download_checkpoints.sh.", file=sys.stderr)
         text = re.sub(r"\s+", " ", text.lower().strip())
         ids: List[int] = []
         for tok in _PAT.findall(text):

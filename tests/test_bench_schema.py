@@ -92,3 +92,22 @@ def test_busy_none_tolerated(bench):
         times_ms=[500.0] * 5, sweep_ts_s=[2.0] * 3, n_sweep=4,
         syncs_per_img=3, busy_ms_per_img=None, rtt_ms=30.0)
     assert fields["device_busy_ms_per_img"] is None
+
+
+def test_inpaint_and_blob_probe_fields_present(bench):
+    """Round-5 artifact additions (VERDICT r04 next #4/#7): the inpainting
+    stage and the realistic-mask probe must be driver-visible."""
+    import inspect
+
+    # measure_inpaint returns the two inpaint fields
+    src = inspect.getsource(bench.measure_inpaint)
+    assert "inpaint_ms_per_sample" in src
+    assert "inpaint_batch4_scaling" in src
+    # the blob probe returns busy/cc-cap fields for realistic content
+    src = inspect.getsource(bench._blob_probe)
+    for key in ("e2e_blob_probe_p50_ms", "device_busy_ms_per_img_blob",
+                "cc_cap_hits_per_img_blob"):
+        assert key in src, key
+    # main() wires both into the artifact
+    src = inspect.getsource(bench.main)
+    assert "measure_inpaint" in src

@@ -260,9 +260,12 @@ def shared_sam(oracle_env, tmp_path_factory):
 
 
 def _run_reference_chain(env, torch_sam, ckpt_path, sketch_path, ref_dir,
-                         depth_map):
+                         depth_map, dino_out=None):
     """The reference runner.py:21-103 sequence, through the reference's own
-    stage functions."""
+    stage functions.  dino_out: detection dict in the run_ft_dino_on_sketch
+    format; defaults to the module's fixed shared detections (the live-GDINO
+    chain in test_fullchain_live_gdino.py passes the reference predict's
+    real output instead)."""
     proc = env["processing"]
     os.makedirs(ref_dir, exist_ok=True)
     input_pil = Image.open(sketch_path).convert("RGB")
@@ -271,11 +274,12 @@ def _run_reference_chain(env, torch_sam, ckpt_path, sketch_path, ref_dir,
     # detector output dict exactly as run_ft_dino_on_sketch builds it
     # (gdino.py:23-30): normalized cxcywh -> xyxy via the reference's own
     # converter
-    dino_out = {
-        "bboxes": proc.cxcywh_to_xyxy(DETS_CXCYWH.tolist()).tolist(),
-        "scores": list(SCORES),
-        "labels": ["object"] * len(SCORES),
-    }
+    if dino_out is None:
+        dino_out = {
+            "bboxes": proc.cxcywh_to_xyxy(DETS_CXCYWH.tolist()).tolist(),
+            "scores": list(SCORES),
+            "labels": ["object"] * len(SCORES),
+        }
     boxes_t, _phrases = proc.process_dino_output(dino_out, input_pil)
     bboxes_list = [[int(x) for x in bbox] for bbox in boxes_t.tolist()]
     proc.save_norm_bboxes(bboxes_list, dino_out["scores"], input_pil,
