@@ -281,8 +281,12 @@ class GDinoDetector:
                            token_ids: np.ndarray,
                            text_threshold: float) -> str:
         """Decode tokens whose sigmoid logit exceeds text_threshold
-        (GroundingDINO util/utils.py get_phrases_from_posmap :599-610)."""
+        (GroundingDINO util/utils.py get_phrases_from_posmap :599-610).
+        The reference strips periods from every phrase
+        (util/inference.py:89,92 ``.replace('.', '')``) — labels in
+        bboxes.json and the web UI follow that contract."""
         n = len(token_ids)
         posmap = token_probs[:n] > text_threshold
+        posmap[0] = False  # [CLS] (left_idx=0 masking, utils.py:604)
         ids = [int(t) for t, p in zip(token_ids, posmap) if p]
-        return self.tokenizer.decode(ids)
+        return self.tokenizer.decode(ids).replace(".", "")

@@ -34,11 +34,19 @@ SA = "/root/reference/InkLayer/third_party/segment-anything/segment_anything"
 def _stub_torchvision():
     if "torchvision.ops.boxes" in sys.modules:
         return
+    import importlib.machinery as _mach
+
     tv = types.ModuleType("torchvision")
     ops = types.ModuleType("torchvision.ops")
     boxes_mod = types.ModuleType("torchvision.ops.boxes")
     tfs = types.ModuleType("torchvision.transforms")
     tfs_f = types.ModuleType("torchvision.transforms.functional")
+    # transformers probes find_spec("torchvision"); a stub without __spec__
+    # makes that raise instead of returning
+    for _m in (tv, ops, boxes_mod, tfs, tfs_f):
+        _m.__spec__ = _mach.ModuleSpec(_m.__name__, loader=None)
+    # reference util/misc.py:27 parses this for a <0.7 compat flag
+    tv.__version__ = "0.15.0"
 
     def box_area(b):
         return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])

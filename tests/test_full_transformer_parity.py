@@ -40,9 +40,15 @@ GD = ("/root/reference/InkLayer/third_party/GroundingDINO/groundingdino/"
 def _stub_deps():
     # timm (fuse_modules)
     if "timm.models.layers" not in sys.modules:
+        import importlib.machinery as _mach
+
         timm = types.ModuleType("timm")
         timm_models = types.ModuleType("timm.models")
         timm_layers = types.ModuleType("timm.models.layers")
+        # a real ModuleSpec so transformers' find_spec("timm") availability
+        # probe doesn't raise "timm.__spec__ is None" (import_utils.py:227)
+        for _m in (timm, timm_models, timm_layers):
+            _m.__spec__ = _mach.ModuleSpec(_m.__name__, loader=None)
 
         class DropPath(torch.nn.Module):
             def __init__(self, drop_prob=0.0):

@@ -134,9 +134,10 @@ def test_clip_bpe_matches_hf(clip_files):
 def test_clip_hash_fallback_warns_once(capsys):
     tok = CLIPTokenizer()
     tok.encode("anything")
-    assert "WARNING" in capsys.readouterr().out
+    # warning goes to stderr so bench.py stdout stays one JSON line
+    assert "WARNING" in capsys.readouterr().err
     tok.encode("more")
-    assert "WARNING" not in capsys.readouterr().out
+    assert "WARNING" not in capsys.readouterr().err
     ids = tok.encode("stable prompt")
     ids2 = CLIPTokenizer().encode("stable prompt")
     np.testing.assert_array_equal(ids, ids2)  # deterministic
