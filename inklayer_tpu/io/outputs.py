@@ -70,16 +70,26 @@ def save_norm_bboxes(bboxes_abs: Sequence[Sequence[float]],
 
 def save_masks_dir(masks: np.ndarray, out_dir: str,
                    indices: Optional[Sequence[int]] = None) -> None:
-    """masks: (N, H, W) bool -> out_dir/mask_{i}.png (255/0 grayscale).
+    """masks: (N, H, W) bool -> out_dir/mask_{i}.png.
 
-    compress_level=1: zlib level 6 (PIL default) spends ~4x the host CPU for
-    a few percent smaller bilevel PNGs — the mask writes are the largest
-    host-side cost of the output contract."""
+    Native path writes 1-bit grayscale PNGs (decoders expand to 0/255 —
+    every consumer normalizes via convert("L") > 127): 8x less data through
+    the filter+deflate stages than the 8-bit form, and the mask writes are
+    the largest host-side cost of the output contract on 1-core hosts
+    (scripts/analyze_sweep_stalls4.py).  PIL fallback stays 8-bit/zlib-1."""
     os.makedirs(out_dir, exist_ok=True)
+    from inklayer_tpu.native import png_encode
+
     for i, mask in enumerate(masks):
         idx = indices[i] if indices is not None else i
-        save_png(os.path.join(out_dir, f"mask_{idx}.png"),
-                 (np.asarray(mask, bool) * 255).astype(np.uint8))
+        path = os.path.join(out_dir, f"mask_{idx}.png")
+        m8 = np.asarray(mask, np.uint8)
+        data = png_encode(m8, bilevel=True, level=1)
+        if data is not None:
+            with open(path, "wb") as f:
+                f.write(data)
+        else:
+            save_png(path, m8 * 255)
 
 
 def draw_boxes_image(image: Image.Image, norm_boxes, scores=None,

@@ -25,11 +25,25 @@ This script measures, at the four UNet resolutions (96²/320, 48²/640,
 Chained-calls-in-one-jit protocol (single-call wall is RTT-dominated
 through this tunnel; see ablate_diffusion_attn.py).
 
-Usage: python scripts/ablate_diffusion_convs.py [--chain 8] [--levels 0,1,2,3]
+Usage: python scripts/ablate_diffusion_convs.py [--chain 64] [--levels 0,1,2,3]
 
-Measured 2026-08-21 (v5e, chain=8, bf16, batch 2) — conclusions in
-BASELINE.md "Diffusion stage roofline (round 5 update)":
-  (header updated with numbers after the run)
+Measured 2026-08-21 (v5e, chain=64 fori_loop, bf16, batch 2) — the
+round-4 "15-20 ms/step recoverable" premise is RETRACTED (see BASELINE.md
+"Diffusion stage roofline (round 5 update)"):
+  level 0 (96², 320):  resnet 1.030 ms (33.5% MFU) | gn+silu+conv 0.642
+    (26.9) | conv 0.621 (27.8) | gn 0.375 | im2col-HBM 2.424 | shift9
+    0.732 | nchw 0.624 | f32acc 0.624
+  level 1 (48², 640):  resnet 0.837 (41.2%) | unit 0.585 | conv 0.586
+    (29.4) | gn 0.397
+  level 2 (24², 1280): resnet 0.921 (37.4%) | conv 0.613 (28.2)
+  level 3 (12², 1280): resnet 0.614 (14.0%) | conv 0.493 (8.7)
+  KEY RESULT: the production ResnetBlockT (2 conv + 2 GN+SiLU + temb +
+  residual) runs FASTER than two standalone convs — the GN/elementwise
+  work fully overlaps, i.e. the in-program conv+GN fusion total
+  (~31 ms/step by trace) already sits AT the emitter's standalone rate.
+  The 2-47% per-fusion MFU spread in the round-4 trace was shape variance,
+  not fusion overhead.  (Earlier chain=8 numbers were RTT-floor artifacts:
+  every variant read ~3.1 ms ≈ 25 ms tunnel RTT / 8.)
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))

@@ -113,3 +113,18 @@ def test_save_png_matches_pil_pixels(tmp_path, rng):
     arr = (rng.random((30, 44, 3)) * 255).astype(np.uint8)
     save_png(str(tmp_path / "a.png"), arr)
     assert np.array_equal(np.asarray(Image.open(tmp_path / "a.png")), arr)
+
+
+def test_save_masks_dir_bilevel_roundtrip(tmp_path, rng):
+    """Mask PNGs ride the 1-bit native path; every pipeline consumer
+    normalizes via convert('L') > 127, which must recover the exact mask."""
+    from PIL import Image
+
+    from inklayer_tpu.io.outputs import save_masks_dir
+
+    masks = rng.random((3, 21, 37)) > 0.5
+    save_masks_dir(masks, str(tmp_path))
+    for i in range(3):
+        got = np.asarray(
+            Image.open(tmp_path / f"mask_{i}.png").convert("L")) > 127
+        assert np.array_equal(got, masks[i])

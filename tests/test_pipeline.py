@@ -68,7 +68,10 @@ def test_pipeline_output_layout(pipeline, sketch_file, tmp_path):
     # masks dirs contain mask_{i}.png at image resolution
     masks = sorted(os.listdir(os.path.join(out_dir, "masks")))
     if masks:
-        m = np.asarray(Image.open(os.path.join(out_dir, "masks", masks[0])))
+        # masks are 1-bit PNGs on the native path; consumers normalize
+        # with convert("L"), which must yield the 0/255 plane
+        m = np.asarray(Image.open(
+            os.path.join(out_dir, "masks", masks[0])).convert("L"))
         assert m.shape == (96, 96)
         assert set(np.unique(m)) <= {0, 255}
 

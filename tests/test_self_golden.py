@@ -59,7 +59,12 @@ def _sketch(tmp_path) -> str:
 
 
 def _pixel_hash(path: str) -> str:
-    arr = np.asarray(Image.open(path))
+    img = Image.open(path)
+    if img.mode == "1":
+        # bilevel mask PNGs decode to bool; normalize to the 0/255 uint8
+        # plane so hashes are invariant to the (equivalent) bit depth
+        img = img.convert("L")
+    arr = np.asarray(img)
     return hashlib.sha256(
         arr.tobytes() + str(arr.shape).encode() + str(arr.dtype).encode()
     ).hexdigest()
