@@ -25,6 +25,19 @@ KEEP_LIST = [
 ]
 
 
+def save_input_png(dst: str, src_path: str, image: np.ndarray) -> None:
+    """Write the out-dir input.png.  When the source already IS a PNG the
+    bytes are copied verbatim (the image is passed through unmodified, so
+    a byte copy is strictly more faithful than decode+re-encode and costs
+    ~0 host CPU — PNG re-encode of a 750² sketch was ~8 ms of the
+    host-CPU-bound sweep budget).  Non-PNG sources fall back to encoding
+    the decoded pixels."""
+    if src_path.lower().endswith(".png") and os.path.isfile(src_path):
+        shutil.copyfile(src_path, dst)
+        return
+    save_png(dst, image)
+
+
 def save_png(path: str, arr, level: int = 1) -> None:
     """PNG write through the native filter-None encoder (native.png_encode,
     ~2.3x less host CPU than PIL's adaptive-filter path on 750^2 RGB,

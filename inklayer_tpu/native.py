@@ -59,6 +59,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                    u8, ctypes.c_longlong]
         lib.png_encode.restype = ctypes.c_longlong
+    if hasattr(lib, "integral_nonzero"):
+        lib.integral_nonzero.argtypes = [u8, i32, ctypes.c_int, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -105,6 +107,21 @@ def connected_components(mask: np.ndarray, connectivity: int = 8
     n = lib.connected_components(np.ascontiguousarray(mask, np.uint8), labels,
                                  h, w, connectivity)
     return labels, int(n)
+
+
+def integral_nonzero(gray: np.ndarray) -> np.ndarray:
+    """Padded (H+1, W+1) int32 integral image of (gray > 0) — the NMS
+    prefilter's per-box ink-count lookup table.  Single C pass; numpy
+    int32 double-cumsum fallback (bit-identical for images < 2^31 px)."""
+    gray = np.ascontiguousarray(gray, np.uint8)
+    h, w = gray.shape
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "integral_nonzero"):
+        return np.pad((gray > 0).astype(np.int32),
+                      ((1, 0), (1, 0))).cumsum(0).cumsum(1)
+    out = np.empty((h + 1, w + 1), np.int32)
+    lib.integral_nonzero(gray.reshape(-1), out.reshape(-1), h, w)
+    return out
 
 
 def png_encode(arr: np.ndarray, bilevel: bool = False,

@@ -155,8 +155,11 @@ def nms_host_prefilter(
     # ---- pre-filter (filter_full_or_empty_bbox) --------------------------
     areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
     valid_area = areas / img_area < cfg.nms_max_area_frac
-    integral = np.pad((sketch_gray > 0).astype(np.int64), ((1, 0), (1, 0))
-                      ).cumsum(0).cumsum(1)
+    # native single-pass int32 integral (the int64 double-cumsum was the
+    # prefilter's largest host-CPU item, analyze_sweep_stalls4 round 5)
+    from inklayer_tpu.native import integral_nonzero
+
+    integral = integral_nonzero(sketch_gray)
     xs1 = np.clip(boxes[:, 0], 0, w - 1).astype(int)
     ys1 = np.clip(boxes[:, 1], 0, h - 1).astype(int)
     xs2 = np.clip(boxes[:, 2], 0, w - 1).astype(int) + 1
@@ -223,8 +226,11 @@ def _sketch_nms_host_reference(
     areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
     valid_area = areas / img_area < cfg.nms_max_area_frac
     # "has content": count_nonzero of the grayscale region > 0
-    integral = np.pad((sketch_gray > 0).astype(np.int64), ((1, 0), (1, 0))
-                      ).cumsum(0).cumsum(1)
+    # native single-pass int32 integral (the int64 double-cumsum was the
+    # prefilter's largest host-CPU item, analyze_sweep_stalls4 round 5)
+    from inklayer_tpu.native import integral_nonzero
+
+    integral = integral_nonzero(sketch_gray)
     xs1 = np.clip(boxes[:, 0], 0, w - 1).astype(int)
     ys1 = np.clip(boxes[:, 1], 0, h - 1).astype(int)
     xs2 = np.clip(boxes[:, 2], 0, w - 1).astype(int) + 1

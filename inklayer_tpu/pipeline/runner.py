@@ -407,11 +407,10 @@ class InkLayerPipeline:
         # PNG encodes overlap device compute; drained before returning
         was_async = self.async_io
         self.async_io = True
-        # compress_level=1: zlib level 6 spends ~4x the host CPU for ~15%
-        # smaller files — pure host-tail latency on the writer threads
-        self._submit(functools.partial(io_out.save_png,
+        # byte-copy when the source is a PNG (no re-encode; io/outputs.py)
+        self._submit(functools.partial(io_out.save_input_png,
                                        os.path.join(out_dir, "input.png"),
-                                       image))
+                                       input_path, image))
 
         # single host->device upload of the input image (one channel when
         # grayscale-in-RGB); every stage's jnp.asarray(image) is then a

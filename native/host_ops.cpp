@@ -273,4 +273,24 @@ long long png_encode(const uint8_t* data, int h, int w, int channels,
   return static_cast<long long>(p - out);
 }
 
+// Padded integral image of (gray > 0): out is (h+1, w+1) int32 row-major,
+// out[y][x] = count of nonzero pixels in gray[:y, :x].  Single pass
+// (running row sum + previous integral row) — replaces the numpy
+// int64 double-cumsum on the sweep's host-CPU-bound NMS prefilter.
+void integral_nonzero(const uint8_t* gray, int32_t* out, int h, int w) {
+  const int W = w + 1;
+  std::memset(out, 0, sizeof(int32_t) * W);  // top pad row
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = gray + static_cast<size_t>(y) * w;
+    const int32_t* prev = out + static_cast<size_t>(y) * W;
+    int32_t* cur = out + static_cast<size_t>(y + 1) * W;
+    cur[0] = 0;  // left pad col
+    int32_t run = 0;
+    for (int x = 0; x < w; ++x) {
+      run += row[x] != 0;
+      cur[x + 1] = run + prev[x + 1];
+    }
+  }
+}
+
 }  // extern "C"

@@ -20,9 +20,23 @@ that gap names, on the REAL workers=4 path (4 concurrent run() threads on a
 Usage: python scripts/analyze_sweep_stalls4.py [--n 8] [--workers 4]
 
 Measured 2026-08-21 (quiet host, n=8 warm sweep, workers=4, subset path,
-median of 3) — see BASELINE.md "Sweep stall budget (round 5)" for the
-conclusions drawn:
-  (run to reproduce; header updated with the numbers after the run)
+median of 3) — see BASELINE.md "Sweep stall budget (round 5)":
+
+  BEFORE the round-5 host attacks: wall 283/img, host CPU 223/img
+  (PNG encode 95, colorize 37) -> 3.5-4.2 sk/s.
+  AFTER native filter-0 PNG + LUT colorizer:       208/img wall, 106 host
+  AFTER bilevel masks + input byte-copy + native integral:
+    wall 183/img (5.45 sk/s on the ramp-included n=8 probe; bench n=16
+    steady-state: 6.01), device busy 136/img -> occupancy 74% (n=8) /
+    81% (n=16), HOST CPU 72/img = 39% of the core — the host core is NO
+    LONGER the wall.  Largest remaining host items: save_png 19.9 cpu
+    (3 calls: bboxes_final/depth_map/segmented_final), colorize_lut 11.6,
+    png_decode 8.1, unattributed glue 23.6.  workers=6 probe REGRESSED
+    (5.07: more GIL contention, worse ramp at n=8) — 4 stays.
+  The residual gap to the 7.38 ceiling is device idle during the 2
+  syncs/img x ~24 ms RTT that 4 workers cannot fully hide through this
+  tunnel; on PCIe-local TPU VMs (~0.2 ms dispatch) the same structure
+  projects to the ceiling.
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))

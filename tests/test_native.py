@@ -128,3 +128,15 @@ def test_save_masks_dir_bilevel_roundtrip(tmp_path, rng):
         got = np.asarray(
             Image.open(tmp_path / f"mask_{i}.png").convert("L")) > 127
         assert np.array_equal(got, masks[i])
+
+
+def test_integral_nonzero_matches_numpy(rng):
+    from inklayer_tpu.native import integral_nonzero
+
+    gray = (rng.random((53, 71)) * 255).astype(np.uint8)
+    gray[gray < 128] = 0
+    want = np.pad((gray > 0).astype(np.int64),
+                  ((1, 0), (1, 0))).cumsum(0).cumsum(1)
+    got = integral_nonzero(gray)
+    assert got.dtype == np.int32
+    assert np.array_equal(got, want)
