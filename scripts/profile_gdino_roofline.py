@@ -132,6 +132,36 @@ def main():
     for name, dur in agg.most_common(30):
         print(f"  {dur / 1e3:8.2f} ms x{cnt[name]:3d}  {name[:80]}")
 
+    # class totals over the WHOLE tail (VERDICT r04 #6: the sub-ms tail is
+    # where the Swin/decoder/glue budget hides)
+    def klass(nm):
+        base = nm.split(".")[0]
+        if base in ("self_attn", "cross_attn"):
+            return "pallas attn (enc deform + dec)"
+        if base in ("copy", "reshape", "transpose", "bitcast", "pad",
+                    "slice", "concatenate", "dynamic-slice"):
+            return "layout/copy glue"
+        if base.startswith("convert"):
+            return "convert fusions"
+        if "conv" in base:
+            return "convolution fusions"
+        if base in ("dot", "custom-call"):
+            return "bare dots/custom"
+        if "fusion" in base:
+            return "other fusions (matmul+elementwise)"
+        return "misc: " + base
+    classes = collections.Counter()
+    ccnt = collections.Counter()
+    for name, dur in agg.items():
+        classes[klass(name)] += dur
+        ccnt[klass(name)] += cnt[name]
+    print("class totals (whole trace):")
+    tot = 0
+    for name, dur in classes.most_common(20):
+        print(f"  {dur / 1e3:8.2f} ms x{ccnt[name]:4d}  {name}")
+        tot += dur
+    print(f"  {tot / 1e3:8.2f} ms total traced device time")
+
 
 if __name__ == "__main__":
     main()
