@@ -37,6 +37,15 @@ median of 3) — see BASELINE.md "Sweep stall budget (round 5)":
   syncs/img x ~24 ms RTT that 4 workers cannot fully hide through this
   tunnel; on PCIe-local TPU VMs (~0.2 ms dispatch) the same structure
   projects to the ceiling.
+
+  --device-front re-probe (the r3 transport made it a loss; r4 transport
+  is dependency-only): STILL a loss, for a different reason — 4.30 sk/s,
+  device busy 136 -> 177 ms/img: the device-front path cleans the full
+  capacity-64 mask stack, forfeiting the r4 subset-clean win (clean only
+  prefilter survivors).  Its ceiling drops to 5.64 < the default path's
+  achieved 6.0.  Default stays off; marrying device_front with
+  survivor-subset cleaning would need the prefilter gates on device
+  before mask materialization (a r6 candidate, not attempted).
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -86,6 +95,9 @@ def main():
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--workers", type=int, default=None)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--device-front", action="store_true",
+                    help="probe cfg.device_front=True (r3 transport made "
+                    "it a loss; the r4 dependency-only transport may not)")
     args = ap.parse_args()
 
     import jax  # noqa: F401  (device init before timing)
@@ -147,7 +159,11 @@ def main():
     # excluded from the attributed-cpu total by its near-zero cpu.
     jax.device_get = acct.wrap("device_get_wait(sync)", jax.device_get)
 
+    import dataclasses
+
     cfg = PipelineConfig()
+    if args.device_front:
+        cfg = dataclasses.replace(cfg, device_front=True)
     pipe = build_pipeline(cfg)
 
     src = "/root/reference/data/bunny_cook_sketch.png"
